@@ -1,0 +1,64 @@
+'''
+Fixed-capacity selection primitives: the TPU-native replacement for every
+dynamic-shape boolean-index / rejection-resample pattern in the reference.
+
+  * take_valid      <-> boolean indexing followed by `select_safely` duplication
+                        (/root/reference/utils/geometry.py:1095-1105)
+  * masked_choice   <-> `torch.randint(0, pool.shape[0], (n,))` row sampling from a
+                        boolean-filtered pool (geometry.py:859-906), done here without
+                        compaction via a weighted inverse-CDF over the mask.
+'''
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['take_valid', 'masked_choice', 'valid_first_order']
+
+
+def valid_first_order(valid):
+    '''
+    Stable permutation putting valid entries first.
+    :param valid (N,) bool.
+    :return (N,) int32 permutation indices.
+    '''
+    # argsort of (invalid, position) lexicographically; stable sort keeps order.
+    return jnp.argsort(~valid, stable=True).astype(jnp.int32)
+
+
+def take_valid(x, valid, n_out):
+    '''
+    Select the first `n_out` valid rows, duplicating valid rows cyclically when there
+    are fewer than n_out (the reference's `select_safely` doubles the array until it is
+    long enough, geometry.py:1095-1105 - the same multiset of rows, different order).
+    :param x (N, D) array.
+    :param valid (N,) bool.
+    :param n_out (int, static).
+    :return (rows (n_out, D), count): count = min(num_valid, n_out) genuinely distinct.
+    '''
+    order = valid_first_order(valid)
+    cnt = jnp.sum(valid).astype(jnp.int32)
+    safe = jnp.maximum(cnt, 1)
+    pick = order[jnp.arange(n_out, dtype=jnp.int32) % safe]
+    return x[pick], jnp.minimum(cnt, n_out)
+
+
+def masked_choice(key, valid, n_draw, weights=None):
+    '''
+    Draw `n_draw` indices uniformly (or weighted) with replacement from the True
+    positions of `valid`, without compacting. Equivalent to the reference pattern
+    `pool = pcl[mask]; inds = randint(0, len(pool), (n,)); pool[inds]`
+    but returning indices into the *original* array.
+    :param key: PRNG key.
+    :param valid (N,) bool.
+    :param n_draw (int, static).
+    :param weights (N,) float or None: relative weights (masked by valid).
+    :return (idx (n_draw,) int32, ok scalar bool): ok is False when no valid entries
+        (indices then point at entry 0 and must be discarded by the caller).
+    '''
+    w = jnp.where(valid, 1.0 if weights is None else weights, 0.0).astype(jnp.float32)
+    total = jnp.sum(w)
+    ok = total > 0
+    cdf = jnp.cumsum(w)
+    u = jax.random.uniform(key, (n_draw,), minval=0.0, maxval=1.0) * jnp.maximum(total, 1e-30)
+    idx = jnp.searchsorted(cdf, u, side='right').astype(jnp.int32)
+    return jnp.minimum(idx, valid.shape[0] - 1), ok
