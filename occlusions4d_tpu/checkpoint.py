@@ -1,0 +1,234 @@
+'''
+Checkpointing: native (orbax-style msgpack/pickle pytrees) plus a bidirectional bridge
+to the reference's torch checkpoint layout.
+
+Reference layout (/root/reference/train.py:336-357): a single torch.save dict with keys
+{optimizer, lr_scheduler, scaler, epoch, args, pcl_args, dset_args, implicit_args,
+pcl_net, implicit_net}, where pcl_net / implicit_net are torch state_dicts. The
+released pretrained/*.pth files use this layout; `load_reference_checkpoint` maps them
+into flax param pytrees so outputs can be compared to the PyTorch reference
+(north-star parity oracle, BASELINE.md).
+
+Key mapping (mechanical because flax module names mirror torch attribute paths):
+  torch 'pre_mlp.0.weight' (out,in)  -> params['pre_mlp_0']['kernel'] (in,out)  [T]
+  torch 'blocks.3.mlp.1.weight' 1-D  -> params['blocks_3']['mlp_1']['norm']['scale']
+  torch running_mean/var             -> batch_stats collection
+  decoder: 'blocks.i.*' -> 'backbone/blocks_i/*', 'lin_in|lin_out|lin_z.i' ->
+           'backbone/...', legacy 'pt_block.' -> 'pt_blocks.0.'
+           (/root/reference/eval/inference.py:62-63).
+'''
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+__all__ = ['torch_key_to_flax', 'import_torch_state_dict', 'export_torch_state_dict',
+           'load_reference_checkpoint', 'save_checkpoint', 'load_checkpoint',
+           'resolve_resume_path']
+
+
+def _merge_numeric(parts):
+    '''['blocks', '3', 'mlp', '0'] -> ['blocks_3', 'mlp_0'] (torch Sequential /
+    ModuleList indices become name suffixes in flax).'''
+    out = []
+    for p in parts:
+        if p.isdigit() and out:
+            out[-1] = out[-1] + '_' + p
+        else:
+            out.append(p)
+    return out
+
+
+_DECODER_BACKBONE = ('lin_in', 'lin_out', 'lin_z', 'blocks')
+
+
+def torch_key_to_flax(key, net='encoder'):
+    '''
+    :param key (str): torch state_dict key, e.g. 'blocks.0.layer2.to_q.weight'.
+    :param net (str): 'encoder' or 'decoder' (decoder nests a ResnetFC backbone).
+    :return (path tuple, kind): path into the flax tree (without leaf), and leaf kind
+        in {kernel, bias, scale, norm_bias, mean, var}.
+    '''
+    if net == 'decoder' and key.startswith('pt_block.'):
+        key = 'pt_blocks.0.' + key[len('pt_block.'):]
+
+    parts = key.split('.')
+    leaf = parts.pop(-1)
+    if net == 'decoder' and parts and parts[0] in _DECODER_BACKBONE:
+        parts = ['backbone'] + parts
+    path = tuple(_merge_numeric(parts))
+
+    if leaf == 'weight':
+        kind = 'weight'   # resolved to kernel vs scale by tensor rank.
+    elif leaf == 'bias':
+        kind = 'bias'
+    elif leaf == 'running_mean':
+        kind = 'mean'
+    elif leaf == 'running_var':
+        kind = 'var'
+    elif leaf == 'num_batches_tracked':
+        kind = 'skip'
+    else:
+        raise ValueError(f'Unrecognized torch leaf: {key}')
+    return path, kind
+
+
+def import_torch_state_dict(state_dict, net='encoder'):
+    '''
+    Convert a torch state_dict (tensors or numpy arrays) to flax variables
+    {'params': ..., 'batch_stats': ...?}.
+    '''
+    params = {}
+    batch_stats = {}
+    for key, val in state_dict.items():
+        path, kind = torch_key_to_flax(key, net=net)
+        if kind == 'skip':
+            continue
+        arr = np.asarray(getattr(val, 'numpy', lambda: val)())
+        if kind == 'weight':
+            if arr.ndim == 2:
+                params[path + ('kernel',)] = jnp.asarray(arr.T)
+            else:  # 1-D weight: norm scale.
+                params[path + ('norm', 'scale')] = jnp.asarray(arr)
+        elif kind == 'bias':
+            dest = ('norm', 'bias') if _is_norm_bias(state_dict, key) else ('bias',)
+            params[path + dest] = jnp.asarray(arr)
+        elif kind == 'mean':
+            batch_stats[path + ('norm', 'mean')] = jnp.asarray(arr)
+        elif kind == 'var':
+            batch_stats[path + ('norm', 'var')] = jnp.asarray(arr)
+
+    out = {'params': traverse_util.unflatten_dict(params)}
+    if batch_stats:
+        out['batch_stats'] = traverse_util.unflatten_dict(batch_stats)
+    return out
+
+
+def _is_norm_bias(state_dict, bias_key):
+    '''A bias belongs to a norm layer iff its sibling weight is 1-D.'''
+    weight_key = bias_key[:-len('bias')] + 'weight'
+    w = state_dict.get(weight_key)
+    if w is None:
+        return False
+    arr = np.asarray(getattr(w, 'numpy', lambda: w)())
+    return arr.ndim == 1
+
+
+def export_torch_state_dict(variables, net='encoder'):
+    '''
+    Inverse of import_torch_state_dict: flax variables -> flat torch-layout dict of
+    numpy arrays (keys exactly as the reference's state_dicts).
+    '''
+    flat = traverse_util.flatten_dict(variables['params'])
+    stats = traverse_util.flatten_dict(variables.get('batch_stats', {}))
+    out = {}
+
+    # Names where the _<digit> suffix is a genuine torch attribute name, not a
+    # Sequential/ModuleList index (ResnetBlockFC.fc_0 / fc_1, implicit.py:83-84).
+    keep_underscore = {'fc_0', 'fc_1'}
+
+    def to_torch_key(path):
+        parts = []
+        for comp in path:
+            if comp in keep_underscore:
+                parts.append(comp)
+            elif '_' in comp and comp.rsplit('_', 1)[1].isdigit():
+                stem, idx = comp.rsplit('_', 1)
+                parts.extend([stem, idx])
+            else:
+                parts.append(comp)
+        if net == 'decoder' and parts and parts[0] == 'backbone':
+            parts = parts[1:]
+        return '.'.join(parts)
+
+    for path, val in flat.items():
+        arr = np.asarray(val)
+        leaf = path[-1]
+        mod_path = path[:-1]
+        if leaf == 'kernel':
+            out[to_torch_key(mod_path) + '.weight'] = arr.T
+        elif leaf == 'scale':
+            out[to_torch_key(mod_path[:-1]) + '.weight'] = arr  # drop 'norm'.
+        elif leaf == 'bias':
+            if mod_path and mod_path[-1] == 'norm':
+                out[to_torch_key(mod_path[:-1]) + '.bias'] = arr
+            else:
+                out[to_torch_key(mod_path) + '.bias'] = arr
+        else:
+            raise ValueError(f'Unexpected leaf {path}')
+    for path, val in stats.items():
+        arr = np.asarray(val)
+        leaf = {'mean': 'running_mean', 'var': 'running_var'}[path[-1]]
+        out[to_torch_key(path[:-2]) + '.' + leaf] = arr
+    return out
+
+
+def load_reference_checkpoint(path):
+    '''
+    Load a reference-format .pth checkpoint (requires torch, cpu-only is fine).
+    :return dict with keys: encoder_variables, decoder_variables, pcl_args,
+        implicit_args, dset_args, train_args, epoch.
+    '''
+    import torch
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    return dict(
+        encoder_variables=import_torch_state_dict(ckpt['pcl_net'], net='encoder'),
+        decoder_variables=import_torch_state_dict(ckpt['implicit_net'], net='decoder'),
+        pcl_args=ckpt.get('pcl_args'),
+        implicit_args=ckpt.get('implicit_args'),
+        dset_args=ckpt.get('dset_args'),
+        train_args=ckpt.get('args'),
+        epoch=ckpt.get('epoch', -1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoints: a single pickle of numpy-ified pytrees, mirroring the logical
+# contents of the reference dict (train.py:336-357): model params, optimizer state,
+# epoch, and all constructor/dataset args. Written as both model_{e}.pkl and a rolling
+# checkpoint.pkl.
+# ---------------------------------------------------------------------------
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(output_dir, epoch, state_tree, meta=None):
+    '''
+    :param state_tree: arbitrary pytree (train state: params, opt state, step...).
+    :param meta (dict): json-able config / args snapshots.
+    '''
+    os.makedirs(output_dir, exist_ok=True)
+    payload = {'epoch': int(epoch), 'state': _to_numpy_tree(state_tree),
+               'meta': meta or {}}
+    for name in (f'model_{epoch}.pkl', 'checkpoint.pkl'):
+        tmp = os.path.join(output_dir, name + '.tmp')
+        with open(tmp, 'wb') as f:
+            pickle.dump(payload, f, protocol=4)
+        os.replace(tmp, os.path.join(output_dir, name))
+
+
+def load_checkpoint(path, epoch=-1):
+    '''Accepts a file or a checkpoint directory (picks model_{epoch} or rolling).'''
+    if os.path.isdir(path):
+        name = f'model_{epoch}.pkl' if epoch >= 0 else 'checkpoint.pkl'
+        path = os.path.join(path, name)
+    with open(path, 'rb') as f:
+        return pickle.load(f)
+
+
+def resolve_resume_path(resume, checkpoint_root):
+    '''
+    Resolve `--resume v6` to the unique checkpoints/v6_*/ directory
+    (/root/reference/args.py:20-36).
+    '''
+    if os.path.exists(resume):
+        return resume
+    dps = [os.path.join(checkpoint_root, dn) for dn in os.listdir(checkpoint_root)]
+    dps = [dp for dp in dps if os.path.isdir(dp) and (resume + '_') in dp]
+    assert len(dps) == 1, f'Expected exactly one matching checkpoint folder, got {dps}'
+    return dps[0]

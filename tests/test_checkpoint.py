@@ -1,0 +1,131 @@
+'''Checkpoint bridge tests: torch-layout state dict <-> flax params round-trips,
+key naming parity, legacy migrations, native save/load, resume resolution.'''
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from occlusions4d_tpu import checkpoint as ckpt
+from occlusions4d_tpu.config import TrainConfig, verify_args
+from occlusions4d_tpu.models import factory
+
+
+@pytest.fixture(scope='module')
+def small_models():
+    cfg = TrainConfig(n_points=256, pt_feat_dim=4, up_down_blocks=2,
+                      transition_factor=4, pt_num_neighbors=4, down_neighbors=4,
+                      global_size=8, implicit_mlp_blocks=6, cross_attn_layers=2,
+                      cr_attn_type='c', color_mode='rgb_nosigmoid', tracking_lw=1.0,
+                      pt_norm_type='layer', abstract_levels=2, segmentation_lw=0.6)
+    verify_args(cfg, is_train=True)
+    enc, dec, ea, da = factory.build_models(cfg, 'greater')
+    rng = np.random.RandomState(0)
+    pcl = jnp.asarray(rng.randn(1, 256, 8).astype(np.float32))
+    ev = enc.init(jax.random.PRNGKey(0), pcl)
+    abstract, fg, _ = enc.apply(ev, pcl)
+    q = jnp.asarray(rng.randn(1, 50, 4).astype(np.float32))
+    dv = dec.init(jax.random.PRNGKey(1), q, abstract, fg)
+    return cfg, enc, dec, ev, dv, pcl, q
+
+
+def _trees_equal(a, b):
+    return jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda x, y: np.allclose(x, y), a, b))
+
+
+def test_roundtrip_encoder(small_models):
+    _, _, _, ev, _, _, _ = small_models
+    sd = ckpt.export_torch_state_dict(ev, net='encoder')
+    back = ckpt.import_torch_state_dict(sd, net='encoder')
+    assert _trees_equal(ev['params'], back['params'])
+
+
+def test_roundtrip_decoder(small_models):
+    _, _, _, _, dv, _, _ = small_models
+    sd = ckpt.export_torch_state_dict(dv, net='decoder')
+    back = ckpt.import_torch_state_dict(sd, net='decoder')
+    assert _trees_equal(dv['params'], back['params'])
+
+
+def test_exported_keys_match_reference_layout(small_models):
+    '''Key names must match the reference torch modules exactly (parity oracle).'''
+    _, _, _, ev, dv, _, _ = small_models
+    enc_keys = set(ckpt.export_torch_state_dict(ev, net='encoder'))
+    # PointCompletionNetV3 attribute paths (model.py:78-122; modules.py:35-43,94-108).
+    for k in ['pre_mlp.0.weight', 'pre_mlp.2.bias',
+              'blocks.0.layer1.weight', 'blocks.0.layer2.to_q.weight',
+              'blocks.0.layer2.pos_mlp.0.weight', 'blocks.0.layer2.attn_mlp.2.bias',
+              'blocks.1.mlp.0.weight', 'blocks.1.mlp.1.weight', 'blocks.1.mlp.1.bias',
+              'global_mlp.0.weight', 'global_mlp.2.bias',
+              'abstract_skip_mlps.0.weight']:
+        assert k in enc_keys, k
+    # Attention q/k/v have no bias (point_transformer_layer.py:128-130).
+    assert 'blocks.0.layer2.to_q.bias' not in enc_keys
+
+    dec_keys = set(ckpt.export_torch_state_dict(dv, net='decoder'))
+    # LocalPclResnetFC paths (implicit.py:138-148, 239-268; ResnetBlockFC fc_0/fc_1).
+    for k in ['lin_in.weight', 'lin_out.bias', 'blocks.0.fc_0.weight',
+              'blocks.5.fc_1.bias', 'lin_z.0.weight', 'lin_z.5.bias',
+              'pt_blocks.0.layer1.weight', 'pt_blocks.1.layer2.to_k.weight']:
+        assert k in dec_keys, k
+
+
+def test_legacy_pt_block_rename():
+    path, kind = ckpt.torch_key_to_flax('pt_block.layer1.weight', net='decoder')
+    assert path == ('pt_blocks_0', 'layer1') and kind == 'weight'
+
+
+def test_imported_params_drive_forward(small_models):
+    '''Import from torch layout and run the models with the imported params.'''
+    _, enc, dec, ev, dv, pcl, q = small_models
+    sd_e = ckpt.export_torch_state_dict(ev, net='encoder')
+    sd_d = ckpt.export_torch_state_dict(dv, net='decoder')
+    # Simulate a foreign checkpoint: plain numpy arrays with torch-layout keys.
+    ev2 = ckpt.import_torch_state_dict({k: np.asarray(v) for k, v in sd_e.items()},
+                                       net='encoder')
+    dv2 = ckpt.import_torch_state_dict({k: np.asarray(v) for k, v in sd_d.items()},
+                                       net='decoder')
+    a1, g1, _ = enc.apply(ev, pcl)
+    a2, g2, _ = enc.apply(ev2, pcl)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
+    o1, _ = dec.apply(dv, q, a1, g1)
+    o2, _ = dec.apply(dv2, q, a2, g2)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6)
+
+
+def test_batchnorm_running_stats_roundtrip():
+    '''BatchNorm variant carries running stats through the bridge.'''
+    from occlusions4d_tpu.models import DownTransition
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 16, 4).astype(np.float32))
+    p = jnp.asarray(rng.randn(1, 16, 3).astype(np.float32))
+    mod = DownTransition(d_in=4, d_out=6, factor=2, knn_k=3, norm_type='batch',
+                         fps_random_start=False)
+    v = mod.init(jax.random.PRNGKey(0), x, p)
+    assert 'batch_stats' in v
+    # Wrap as an encoder-like tree under blocks_1 to exercise nested paths.
+    wrapped = {'params': {'blocks_1': v['params']},
+               'batch_stats': {'blocks_1': v['batch_stats']}}
+    sd = ckpt.export_torch_state_dict(wrapped, net='encoder')
+    assert 'blocks.1.mlp.1.running_mean' in sd and 'blocks.1.mlp.1.running_var' in sd
+    back = ckpt.import_torch_state_dict(sd, net='encoder')
+    assert _trees_equal(wrapped['params'], back['params'])
+    assert _trees_equal(wrapped['batch_stats'], back['batch_stats'])
+
+
+def test_native_save_load_and_resume_resolution(tmp_path, small_models):
+    _, _, _, ev, _, _, _ = small_models
+    out_dir = tmp_path / 'checkpoints' / 'v7_np256_test'
+    ckpt.save_checkpoint(str(out_dir), 3, {'params': ev['params'], 'step': 42},
+                         meta={'n_points': 256})
+    assert (out_dir / 'model_3.pkl').exists() and (out_dir / 'checkpoint.pkl').exists()
+    loaded = ckpt.load_checkpoint(str(out_dir))
+    assert loaded['epoch'] == 3 and loaded['meta']['n_points'] == 256
+    assert _trees_equal(loaded['state']['params'], ev['params'])
+    loaded_e = ckpt.load_checkpoint(str(out_dir), epoch=3)
+    assert loaded_e['epoch'] == 3
+    # `--resume v7` resolves to the unique folder (args.py:20-36).
+    assert ckpt.resolve_resume_path('v7', str(tmp_path / 'checkpoints')) == str(out_dir)
