@@ -1,0 +1,158 @@
+'''
+Training pipeline: one functional forward = encode input video -> per predicted frame:
+guided query sampling -> field evaluation -> masked losses.
+
+Capability parity with MyTrainPipeline (/root/reference/pipeline.py:20-234). The
+reference wraps this in torch.nn.DataParallel and splits loss work into
+per_example (scattered) vs entire_batch (gathered on GPU 0); here the whole step is
+one pure function of (params, batch, rng) - vmapped over examples where the reference
+relied on per-GPU scatter, jitted once, and batch-sharded over the mesh by the caller.
+
+Color squash/clamp semantics follow pipeline.py:199-212: density stays a logit for the
+BCE; rgb gets sigmoid, rgb_nosigmoid/hsv get clamps, bins stays logits.
+'''
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .losses import LossConfig, per_example_losses, total_loss
+from .sampler import GuidedPointSampler, SamplerConfig
+
+__all__ = ['PipelineConfig', 'TrainPipeline', 'squash_colors']
+
+
+def squash_colors(out, color_mode):
+    '''Train-time squash (pipeline.py:199-212); density left as logit.'''
+    if color_mode == 'rgb':
+        return out.at[..., 1:4].set(jax.nn.sigmoid(out[..., 1:4]))
+    if color_mode == 'rgb_nosigmoid':
+        return out.at[..., 1:4].set(jnp.clip(out[..., 1:4], 0.0, 1.0))
+    if color_mode == 'hsv':
+        return out.at[..., 13:15].set(jnp.clip(out[..., 13:15], 0.0, 1.0))
+    if color_mode == 'bins':
+        return out
+    raise ValueError(color_mode)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    color_mode: str = 'rgb'
+    semantic_classes: int = 13
+    past_frames: int = 2
+    future_frames: int = 0
+    density_lw: float = 1.0
+    color_lw: float = 0.0
+    segmentation_lw: float = 0.0
+    tracking_lw: float = 0.0
+
+    @property
+    def num_frames(self):
+        return self.past_frames + self.future_frames
+
+    @property
+    def loss_config(self):
+        return LossConfig(color_mode=self.color_mode,
+                          semantic_classes=self.semantic_classes,
+                          density_lw=self.density_lw, color_lw=self.color_lw,
+                          segmentation_lw=self.segmentation_lw,
+                          tracking_lw=self.tracking_lw)
+
+
+class TrainPipeline:
+    '''Pure-function training forward. Construct once; call .loss / .forward in jit.'''
+
+    def __init__(self, encoder, decoder, sampler_cfg: SamplerConfig,
+                 cfg: PipelineConfig):
+        self.encoder = encoder
+        self.decoder = decoder
+        self.sampler = GuidedPointSampler(sampler_cfg)
+        self.cfg = cfg
+
+    def forward(self, params, batch, rng, return_intermediate=False):
+        '''
+        :param params: {'encoder': variables, 'decoder': variables}.
+        :param batch: dict of device arrays:
+            pcl_input (B, N, 8) - (x, y, z, R, G, B, t, mark_track);
+            pcl_target (B, T, M, E) padded; pcl_target_valid (B, T, M) bool;
+            valo_ids (B, R) int32; num_valo_ids (B,) int32.
+        :param rng: PRNG key (fps randomness + query sampling).
+        :return (losses dict, aux dict).
+        '''
+        cfg = self.cfg
+        T = cfg.num_frames
+        pcl_input = batch['pcl_input']
+        pcl_target = batch['pcl_target']
+        tgt_valid = batch['pcl_target_valid']
+        (B, T_data, M, E) = pcl_target.shape
+        assert T_data == T, (T_data, T)
+
+        rng, k_fps = jax.random.split(rng)
+        abstract, feats_global, layer_coords = self.encoder.apply(
+            params['encoder'], pcl_input, return_intermediate,
+            rngs={'fps': k_fps})
+
+        outputs, targets, queries = [], [], []
+        solid_sbs, air_sbs, oks = [], [], []
+        for t in range(T):
+            rng, k_other, k_sample = jax.random.split(rng, 3)
+            # Random *other* frame for dynamic-region supervision
+            # (geometry.py:651-659).
+            if T > 1:
+                other_t = jax.random.randint(k_other, (), 0, T - 1)
+                other_t = jnp.where(other_t == t, other_t + 1, other_t)
+            else:
+                other_t = jnp.asarray(0)
+            tgt_t = pcl_target[:, t]
+            val_t = tgt_valid[:, t]
+            tgt_o = jnp.take_along_axis(
+                pcl_target, other_t[None, None, None, None].astype(jnp.int32),
+                axis=1)[:, 0]
+            val_o = jnp.take_along_axis(
+                tgt_valid, other_t[None, None, None].astype(jnp.int32), axis=1)[:, 0]
+
+            keys = jax.random.split(k_sample, B)
+            sample = jax.vmap(
+                lambda k, tt, vt, to, vo, vi, nv: self.sampler.sample_frame(
+                    k, tt, vt, to, vo, vi, nv, t)
+            )(keys, tgt_t, val_t, tgt_o, val_o, batch['valo_ids'],
+              batch['num_valo_ids'])
+
+            # Forward all solid + air points of the frame at once (pipeline.py:179-182).
+            points_query = jnp.concatenate(
+                [sample['solid_input'], sample['air_input']], axis=1)   # (B, S+A, 4).
+            implicit_target = jnp.concatenate(
+                [sample['solid_target'], sample['air_target']], axis=1)  # (B, S+A, 6).
+
+            out, _ = self.decoder.apply(params['decoder'], points_query, abstract,
+                                        feats_global)
+            out = squash_colors(out, cfg.color_mode)
+
+            outputs.append(out)
+            targets.append(implicit_target)
+            queries.append(points_query)
+            solid_sbs.append(sample['solid_sbs'])
+            air_sbs.append(sample['air_sbs'])
+            oks.append(sample['ok'])
+
+        output = jnp.stack(outputs, axis=1)     # (B, T, S+A, C).
+        target = jnp.stack(targets, axis=1)     # (B, T, S+A, 6).
+
+        losses = per_example_losses(output, target, cfg.loss_config)
+        aux = dict(
+            abstract=abstract, features_global=feats_global,
+            points_query=jnp.stack(queries, axis=1), implicit_output=output,
+            implicit_target=target,
+            solid_sbs=jnp.stack(solid_sbs, 1).mean(axis=(0, 1)),
+            air_sbs=jnp.stack(air_sbs, 1).mean(axis=(0, 1)),
+            sample_ok=jnp.stack(oks, 1).all(),
+            layer_coords=layer_coords,
+        )
+        return losses, aux
+
+    def loss(self, params, batch, rng):
+        '''Scalar objective for jax.grad.'''
+        losses, aux = self.forward(params, batch, rng)
+        return total_loss(losses, self.cfg.loss_config), (losses, aux)
