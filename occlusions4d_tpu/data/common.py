@@ -1,0 +1,167 @@
+'''
+Shared data-plane machinery: VALO (visible-at-least-once) instance analysis,
+occlusion-biased clip selection with a cross-worker counter board, and fixed-capacity
+padding helpers.
+
+Parity targets:
+  * get_valo_ids (/root/reference/data/data_utils.py:12-100);
+  * the shared multiprocessing.Array clip counter + elitist shuffle clip selection
+    (data_greater.py:203-290; data_carla.py:231-344);
+  * subsample_pad semantics (geometry.py:263-381): zero-pad when short, random or
+    farthest-point subsample when long, with a true-size record.
+'''
+
+import threading
+
+import numpy as np
+
+from ..native import fps_host
+from ..utils.misc import elitist_shuffle
+
+__all__ = ['CounterBoard', 'get_valo_ids', 'subsample_pad', 'pad_rows',
+           'pick_biased_frame_start']
+
+
+class CounterBoard:
+    '''Per-(scene, frame) usage counters shared across loader threads (the
+    single-process analogue of the reference's RLock-guarded multiprocessing.Array,
+    data_greater.py:167-170).'''
+
+    def __init__(self, num_scenes, max_frames=10101):
+        self.max_frames = max_frames
+        self.counts = np.zeros((num_scenes, max_frames), np.int32)
+        self.lock = threading.RLock()
+
+    def try_claim(self, scene_idx, frame_start, ignore_taken_prob=0.0, rng=None):
+        '''Claim a clip if free. With probability ignore_taken_prob the taken-check is
+        skipped (CARLA allows occasional double counting during train,
+        data_carla.py:310-321).'''
+        with self.lock:
+            check = True
+            if ignore_taken_prob > 0.0 and rng is not None:
+                check = rng.rand() < (1.0 - ignore_taken_prob)
+            if check and self.counts[scene_idx, frame_start] > 0:
+                return False
+            self.counts[scene_idx, frame_start] += 1
+            return True
+
+
+def pick_biased_frame_start(occl_curve, frame_low, frame_start_high, time_shift,
+                            select_top, counter, scene_idx, stage, rng,
+                            counter_double_prob=0.0):
+    '''
+    Occlusion-biased clip selection: rank frames by occlusion rate, elitist-shuffle
+    during train, walk the ranking skipping out-of-range / already-used clips
+    (data_greater.py:240-285; data_carla.py:269-331).
+    :return (frame_start or None, occl_frame_idx, found_occl_rate).
+    '''
+    select_top = min(select_top, len(occl_curve))
+    top = np.argpartition(occl_curve, -select_top)[-select_top:]
+    top = top[np.argsort(occl_curve[top])][::-1]
+    if 'test' not in stage:
+        top = elitist_shuffle(top, inequality=4, rng=rng)
+    for occl_frame_idx in top:
+        try_start = int(occl_frame_idx) - time_shift
+        if try_start < frame_low or frame_start_high <= try_start:
+            continue
+        if counter is not None:
+            prob = 0.0 if 'test' in stage else counter_double_prob
+            if not counter.try_claim(scene_idx, try_start,
+                                     ignore_taken_prob=prob, rng=rng):
+                continue
+        return try_start, int(occl_frame_idx), float(occl_curve[occl_frame_idx])
+    return None, -1, -1.0
+
+
+def subsample_pad(pcl, n_desired, mode='random', rng=None, retain_vehped=False,
+                  segm_idx=None, fps_start=0):
+    '''
+    Fixed-capacity resize of an (N, D) cloud (geometry.py:263-381):
+      * N < n_desired: zero-pad (true size returned);
+      * N > n_desired: 'random' subsample (sorted indices) or 'farthest_point' FPS;
+        retain_vehped keeps all semantic-tag 4/10 rows (geometry.py:330-343).
+    :return (out (n_desired, D), true_size int).
+    '''
+    rng = np.random if rng is None else rng
+    (N, D) = pcl.shape
+    if N < n_desired:
+        out = np.zeros((n_desired, D), pcl.dtype)
+        out[:N] = pcl
+        return out, N
+    if N == n_desired:
+        return pcl, N
+
+    n_remain = n_desired
+    retain = None
+    pool = np.arange(N)
+    if retain_vehped:
+        assert segm_idx is not None
+        retain_mask = np.logical_or(pcl[:, segm_idx] == 4, pcl[:, segm_idx] == 10)
+        retain = np.where(retain_mask)[0]
+        pool = np.where(pcl[:, segm_idx] != 10)[0]
+        n_remain -= retain.shape[0]
+
+    if mode == 'random':
+        inds = rng.choice(pool, min(max(n_remain, 0), pool.shape[0]), replace=False)
+        inds.sort()
+    elif mode == 'farthest_point':
+        assert not retain_vehped
+        inds = fps_host(pcl[:, :3], n_remain, start_idx=fps_start)
+    else:
+        raise ValueError(mode)
+
+    out = pcl[inds]
+    if retain is not None:
+        out = np.concatenate([pcl[retain], out], axis=0)[:n_desired]
+        if out.shape[0] < n_desired:  # extreme vehped overflow guard.
+            pad = np.zeros((n_desired - out.shape[0], D), pcl.dtype)
+            out = np.concatenate([out, pad], axis=0)
+    return out, n_desired
+
+
+def pad_rows(pcl, capacity):
+    '''Zero-pad (N, D) -> (capacity, D) with a validity count.'''
+    (N, D) = pcl.shape
+    if N >= capacity:
+        return pcl[:capacity], capacity
+    out = np.zeros((capacity, D), pcl.dtype)
+    out[:N] = pcl
+    return out, N
+
+
+def get_valo_ids(used_input_sem, used_merged_frames, all_pcl, src_view, num_views,
+                 pcl_input_frames, video_length, filter_vehped, sem_inst_col,
+                 sem_cat_col, merged_inst_col, max_valo_ids, valo_min_points=8):
+    '''
+    VALO ids + live per-instance occlusion fractions (data_utils.py:12-100), numpy.
+    :param used_input_sem (N, 1-3): semantic columns of the (subsampled) input.
+    :param used_merged_frames: list-T of (V*N, D) merged frames.
+    :param all_pcl: list-V of list-T of per-frame clouds.
+    :return (live_occl (pcl_input_frames, max_valo_ids), valo_ids_pad (max,),
+             num_valo_ids).
+    '''
+    if filter_vehped:
+        vehped_mask = np.logical_or(used_input_sem[:, sem_cat_col] == 4,
+                                    used_input_sem[:, sem_cat_col] == 10)
+        vehped_sem = used_input_sem[vehped_mask]
+    else:
+        vehped_sem = used_input_sem
+
+    ids = np.unique(used_input_sem[:, sem_inst_col].astype(np.int32))
+    valo_ids = [i for i in sorted(ids.tolist())
+                if i >= 0 and (vehped_sem[:, sem_inst_col] == i).sum() >= valo_min_points]
+    num_valo = len(valo_ids)
+
+    live_occl = np.zeros((pcl_input_frames, max_valo_ids), np.float32)
+    for i, vis_id in enumerate(valo_ids[:max_valo_ids]):
+        max_merged = -1
+        for t in range(video_length):
+            cnt = int((used_merged_frames[t][:, merged_inst_col] == vis_id).sum())
+            max_merged = max(cnt, max_merged)
+        for t in range(pcl_input_frames):
+            cnt = int((all_pcl[src_view][t][:, merged_inst_col] == vis_id).sum())
+            live_occl[t, i] = max(1.0 - cnt * num_views / (max_merged + 1e-6), 0.0)
+
+    valo_pad = -np.ones(max_valo_ids, np.int32)
+    valo_pad[:num_valo] = valo_ids[:max_valo_ids]
+    return live_occl, valo_pad, num_valo

@@ -1,0 +1,155 @@
+'''
+Batching + double-buffered prefetch, and the loader factory that picks GREATER vs
+CARLA by path (parity with /root/reference/data/data.py).
+
+The reference uses torch DataLoader worker *processes*; here a background prefetch
+thread assembles fixed-shape numpy batches while the device computes (the TPU host
+only needs to stay ahead of one step; device transfer happens in the train loop via
+parallel.shard_batch).
+'''
+
+import queue
+import threading
+
+import numpy as np
+
+from .greater import GreaterDataset
+from .carla import CarlaDataset
+
+__all__ = ['Loader', 'collate', 'create_train_val_loaders', 'create_test_loader']
+
+_STACK_KEYS = ('pcl_input', 'pcl_input_sem', 'pcl_target', 'pcl_target_valid',
+               'valo_ids', 'num_valo_ids', 'cam_RT', 'cam_K', 'rgb', 'depth')
+
+
+def collate(examples):
+    '''Stack array fields; collect meta_data dicts in a list.'''
+    batch = {}
+    for key in _STACK_KEYS:
+        if key in examples[0]:
+            batch[key] = np.stack([ex[key] for ex in examples])
+    batch['meta_data'] = [ex['meta_data'] for ex in examples]
+    return batch
+
+
+class Loader:
+    '''Epoch-based iterable with shuffling, drop_last, and thread prefetch.'''
+
+    def __init__(self, dataset, batch_size, shuffle=True, drop_last=True,
+                 prefetch=2, seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.seed = seed
+
+    @property
+    def steps_per_epoch(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch_idx=0):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch_idx).shuffle(order)
+        steps = self.steps_per_epoch
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for s in range(steps):
+                    if stop.is_set():
+                        return
+                    idxs = order[s * self.batch_size:(s + 1) * self.batch_size]
+                    if len(idxs) < self.batch_size and self.drop_last:
+                        break
+                    q.put(collate([self.dataset[int(i)] for i in idxs]))
+            except Exception as e:  # surface loader errors to the consumer.
+                q.put(e)
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def _train_dset_args(cfg, data_kind, logger):
+    '''Mirrors dset_args construction (/root/reference/data/data.py:30-97).'''
+    n_target = -int(max(abs(cfg.n_points), abs(cfg.n_data_rnd)) * 2)
+    base = dict(
+        video_length=cfg.video_len, frame_skip=cfg.frame_skip,
+        n_points_rnd=cfg.n_data_rnd, n_fps_input=cfg.n_points,
+        n_fps_target=n_target,
+        pcl_input_frames=cfg.video_len - cfg.future_frames,
+        pcl_target_frames=cfg.past_frames + cfg.future_frames,
+        sample_bias=cfg.sample_bias, sb_occl_frame_shift=cfg.sb_occl_frame_shift,
+        min_z=cfg.min_z, other_bounds=cfg.pt_cube_bounds,
+        use_data_frac=cfg.use_data_frac, verbose='dbg' in cfg.name)
+    if data_kind == 'carla':
+        reference_frame = (cfg.video_len - cfg.future_frames - 1
+                           if cfg.correct_ego_motion else None)
+        base.update(reference_frame=reference_frame,
+                    correct_origin_ground=cfg.correct_origin_ground,
+                    target_bounds=cfg.cr_cube_bounds, cube_mode=cfg.cube_mode,
+                    oversample_vehped_target=cfg.oversample_vehped_target)
+    else:
+        assert cfg.sample_bias in ('none', 'occl')
+        base.update(convert_to_pcl=True, return_segm=True,
+                    track_mode='random' if cfg.tracking_lw > 0.0 else 'none')
+    return base
+
+
+def create_train_val_loaders(cfg, logger):
+    '''
+    :return (data_kind, train_loader, val_aug_loader, dset_args).
+    '''
+    data_kind = 'carla' if 'carla' in cfg.data_path.lower() else 'greater'
+    dset_args = _train_dset_args(cfg, data_kind, logger)
+    cls = CarlaDataset if data_kind == 'carla' else GreaterDataset
+    train_dset = cls(cfg.data_path, logger, stage='train', seed=cfg.seed, **dset_args)
+    val_dset = cls(cfg.data_path, logger, stage='val', seed=cfg.seed + 1, **dset_args)
+    train_loader = Loader(train_dset, cfg.batch_size, shuffle=True, drop_last=True,
+                          seed=cfg.seed)
+    val_loader = Loader(val_dset, cfg.batch_size, shuffle=True, drop_last=True,
+                        seed=cfg.seed + 1)
+    return data_kind, train_loader, val_loader, dset_args
+
+
+def create_test_loader(cfg, dset_args, logger):
+    '''Test loader with checkpoint-stored dset_args + test-time overrides
+    (/root/reference/data/data.py:114-157).'''
+    dset_args = dict(dset_args)
+    dset_args['ss_frame_step'] = cfg.ss_frame_step
+    dset_args['n_fps_target'] = 0
+    dset_args['use_data_frac'] = cfg.use_data_frac
+    dset_args['sample_bias'] = cfg.sample_bias
+    dset_args['sb_occl_frame_shift'] = cfg.sb_occl_frame_shift
+    dset_args['verbose'] = 'dbg' in cfg.name
+    dset_args['use_json'] = cfg.use_json
+
+    data_kind = 'carla' if 'carla' in cfg.data_path.lower() else 'greater'
+    if data_kind == 'carla':
+        dset_args['oversample_vehped_target'] = False
+        dset = CarlaDataset(cfg.data_path, logger, stage='test', seed=cfg.seed,
+                            **dset_args)
+    else:
+        assert cfg.sample_bias in ('none', 'occl')
+        dset_args['force_view_idx'] = cfg.force_view_idx
+        if cfg.track_mode in ('none', 'all'):
+            dset_args['track_mode'] = 'none'  # 'all' is handled by inference reruns.
+        dset = GreaterDataset(cfg.data_path, logger, stage='test', seed=cfg.seed,
+                              **dset_args)
+    loader = Loader(dset, 1, shuffle=False, drop_last=False, seed=cfg.seed)
+    return data_kind, loader

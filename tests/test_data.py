@@ -1,0 +1,169 @@
+'''Data plane tests on synthetic tiny scenes written in the exact on-disk formats.'''
+
+import os
+
+import numpy as np
+import pytest
+
+from occlusions4d_tpu.data import (GreaterDataset, CarlaDataset, Loader, collate,
+                                   synthetic, create_train_val_loaders)
+from occlusions4d_tpu.utils.logvis import Logger
+
+
+@pytest.fixture(scope='module')
+def greater_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp('greater_mini')
+    synthetic.make_greater_dataset(str(root), num_scenes=2, num_views=3,
+                                   num_frames=24, image_size=36)
+    return str(root)
+
+
+@pytest.fixture(scope='module')
+def carla_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp('carla_mini')
+    synthetic.make_carla_dataset(str(root), num_scenes=2, num_frames=60,
+                                 points_per_frame=2500)
+    return str(root)
+
+
+def _logger():
+    return Logger(context='test_data')
+
+
+def test_greater_example_layout(greater_root):
+    dset = GreaterDataset(greater_root, _logger(), stage='train', video_length=4,
+                          frame_skip=2, n_points_rnd=2048, n_fps_input=512,
+                          n_fps_target=-1024, pcl_input_frames=4,
+                          pcl_target_frames=2, min_z=-1.0, other_bounds=5.0,
+                          track_mode='random', seed=0)
+    assert len(dset) >= 960  # virtual epoch multiplier.
+    ex = dset[0]
+    assert ex['pcl_input'].shape == (512, 8)
+    # (x, y, z, R, G, B, t, mark_track): t in [0, 4), rgb in [0, 1].
+    pi = ex['pcl_input']
+    size = ex['meta_data']['pcl_input_size']
+    assert 0 < size <= 512
+    assert pi[:size, 6].min() >= 0 and pi[:size, 6].max() <= 3
+    assert pi[:size, 3:6].min() >= 0 and pi[:size, 3:6].max() <= 1
+    assert ex['pcl_input_sem'].shape == (512, 1)
+    assert ex['pcl_target'].shape == (2, 1024, 9)
+    assert ex['pcl_target_valid'].shape == (2, 1024)
+    # Target layout: (x, y, z, inst, view, R, G, B, mark).
+    tv = ex['pcl_target_valid'][0]
+    tgt = ex['pcl_target'][0][tv]
+    assert tgt.shape[0] > 100
+    assert set(np.unique(tgt[:, 4].astype(int))) <= {0, 1, 2}    # view idx.
+    assert tgt[:, 2].min() >= -1.0 - 1e-5                        # min_z filter.
+    assert ex['valo_ids'].shape == (32,)
+    # Spheres above the floor produce instances; at least one VALO id.
+    assert int(ex['num_valo_ids']) >= 1
+
+
+def test_greater_track_marking(greater_root):
+    dset = GreaterDataset(greater_root, _logger(), stage='train', video_length=4,
+                          frame_skip=2, n_points_rnd=2048, n_fps_input=512,
+                          n_fps_target=-1024, pcl_input_frames=4,
+                          pcl_target_frames=2, track_mode='snitch', seed=1)
+    ex = dset[0]
+    tid = ex['meta_data']['track_id']
+    if tid >= 0:
+        pi, sem = ex['pcl_input'], ex['pcl_input_sem']
+        marked = pi[:, 7] > 0.5
+        # Marks only in the first input frame and only on the tracked instance.
+        assert np.all(pi[marked, 6] == 0)
+        assert np.all(sem[marked, 0] == tid)
+        tgt, tv = ex['pcl_target'][0], ex['pcl_target_valid'][0]
+        tmarked = tgt[tv][:, 8] > 0.5
+        assert np.all(tgt[tv][tmarked, 3] == tid)
+
+
+def test_carla_example_layout(carla_root):
+    dset = CarlaDataset(carla_root, _logger(), stage='train', video_length=4,
+                        frame_skip=3, n_points_rnd=2048, n_fps_input=512,
+                        n_fps_target=-1024, pcl_input_frames=4, pcl_target_frames=2,
+                        reference_frame=3, min_z=-0.5, other_bounds=20.0,
+                        target_bounds=16.0, cube_mode=4, seed=0)
+    ex = dset[0]
+    assert ex['pcl_input'].shape == (512, 8)
+    assert ex['pcl_input_sem'].shape == (512, 3)
+    assert ex['pcl_target'].shape == (2, 1024, 11)
+    tv = ex['pcl_target_valid'][0]
+    tgt = ex['pcl_target'][0][tv]
+    # Targets restricted to the padded output cuboid.
+    assert tgt[:, 0].min() >= -2.0 - 1e-4
+    assert tgt[:, 1].min() >= -18.0 - 1e-4 and tgt[:, 1].max() <= 18.0 + 1e-4
+    # Semantic tags preserved.
+    assert set(np.unique(tgt[:, 5].astype(int))) <= set(range(13))
+    assert ex['valo_ids'].shape == (256,)
+
+
+def test_carla_ego_motion_alignment(carla_root):
+    '''With reference-frame correction, static structure must align across frames:
+    the same world points from different frames land at the same coordinates.'''
+    dset = CarlaDataset(carla_root, _logger(), stage='train', video_length=4,
+                        frame_skip=3, n_points_rnd=-1, n_fps_input=2048,
+                        n_fps_target=-4096, pcl_input_frames=4, pcl_target_frames=1,
+                        reference_frame=3, seed=1)
+    ex = dset[0]
+    pi = ex['pcl_input']
+    size = ex['meta_data']['pcl_input_size']
+    pts = pi[:size]
+    # Points from all frames share the reference coordinate system: x range bounded
+    # by the input cuboid around the *reference* ego position, not growing with t.
+    for t in range(4):
+        sel = pts[pts[:, 6] == t]
+        if len(sel):
+            assert sel[:, 0].min() >= -14.0 - 1e-3 and sel[:, 0].max() <= 50.0 + 1e-3
+
+
+def test_oversample_vehped_target(carla_root):
+    dset = CarlaDataset(carla_root, _logger(), stage='train', video_length=4,
+                        frame_skip=3, n_points_rnd=-1, n_fps_input=256,
+                        n_fps_target=-512, pcl_input_frames=4, pcl_target_frames=1,
+                        reference_frame=3, oversample_vehped_target=True, seed=2)
+    ex = dset[0]
+    tgt = ex['pcl_target'][0][ex['pcl_target_valid'][0]]
+    # Vehped retention: all retained rows come first; vehicles never subsampled away.
+    assert (tgt[:, 5] == 10).sum() > 0
+
+
+def test_loader_collate_and_prefetch(greater_root):
+    dset = GreaterDataset(greater_root, _logger(), stage='val', video_length=4,
+                          frame_skip=2, n_points_rnd=1024, n_fps_input=256,
+                          n_fps_target=-512, pcl_input_frames=4, pcl_target_frames=2,
+                          seed=3)
+    loader = Loader(dset, batch_size=2, shuffle=True, seed=0)
+    batches = []
+    for i, batch in enumerate(loader.epoch(0)):
+        batches.append(batch)
+        if i >= 2:
+            break
+    b = batches[0]
+    assert b['pcl_input'].shape == (2, 256, 8)
+    assert b['pcl_target'].shape == (2, 2, 512, 9)
+    assert b['pcl_target_valid'].shape == (2, 2, 512)
+    assert b['valo_ids'].shape == (2, 32)
+    assert len(b['meta_data']) == 2
+
+
+def test_factory_selects_by_path(greater_root, carla_root):
+    from occlusions4d_tpu.config import TrainConfig, verify_args
+    cfg = TrainConfig(data_path=greater_root, n_points=256, n_data_rnd=512,
+                      video_len=4, frame_skip=2, past_frames=2, batch_size=2,
+                      pt_cube_bounds=5.0)
+    verify_args(cfg, is_train=True)
+    kind, tr, va, dargs = create_train_val_loaders(cfg, _logger())
+    assert kind == 'greater'
+    assert dargs['n_fps_target'] == -1024
+    batch = next(iter(tr.epoch(0)))
+    assert batch['pcl_input'].shape == (2, 256, 8)
+
+    cfg2 = TrainConfig(data_path=carla_root, n_points=256, n_data_rnd=512,
+                       video_len=4, frame_skip=3, past_frames=2, batch_size=2,
+                       pt_cube_bounds=20.0, cr_cube_bounds=16.0)
+    verify_args(cfg2, is_train=True)
+    kind2, tr2, _, dargs2 = create_train_val_loaders(cfg2, _logger())
+    assert kind2 == 'carla'
+    assert dargs2['reference_frame'] == 3
+    batch2 = next(iter(tr2.epoch(0)))
+    assert batch2['pcl_target'].shape[-1] == 11
