@@ -123,6 +123,7 @@ class TrainConfig(SharedConfig):
 
 @dataclass
 class TestConfig(SharedConfig):
+    __test__ = False  # not a pytest class.
     ss_frame_step: int = 3
     force_view_idx: int = -1
     log_path: str = 'auto'

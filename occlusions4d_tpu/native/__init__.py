@@ -1,0 +1,115 @@
+'''
+Native (C++) host-plane ops with ctypes bindings and lazy compilation.
+
+Replaces the reference's torch_cluster C++/CUDA dataloader kernels
+(/root/reference/utils/geometry.py:353-364) and sklearn KDTree 1-NN
+(geometry.py:444-455). The shared library is built once per container from
+host_ops.cpp (g++ -O3) and cached next to the source; pure-numpy fallbacks keep
+everything functional if no compiler is available.
+'''
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ['fps_host', 'nn1_host', 'knn_host', 'native_available']
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, 'host_ops.cpp')
+_LIB = os.path.join(_HERE, '_host_ops.so')
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC', '-o', _LIB, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+            f32p = np.ctypeslib.ndpointer(np.float32, flags='C')
+            i32p = np.ctypeslib.ndpointer(np.int32, flags='C')
+            i64 = ctypes.c_int64
+            lib.o4d_fps.argtypes = [f32p, i64, i64, i64, i32p, f32p]
+            lib.o4d_nn1.argtypes = [f32p, i64, f32p, i64, f32p, i32p]
+            lib.o4d_knn.argtypes = [f32p, i64, f32p, i64, i64, f32p, i32p]
+            _lib = lib
+        except Exception:
+            _lib = None
+    return _lib
+
+
+def native_available():
+    return _load() is not None
+
+
+def fps_host(xyz, n_out, start_idx=0, sort_result=True):
+    '''
+    Farthest point sampling on host (dataloader path).
+    :param xyz (N, C>=3) float array.
+    :return (n_out,) int32 indices (sorted ascending when sort_result, mirroring
+        torch_cluster usage at geometry.py:360-362).
+    '''
+    xyz = np.ascontiguousarray(np.asarray(xyz, np.float32)[:, :3])
+    n = xyz.shape[0]
+    n_out = min(int(n_out), n)
+    lib = _load()
+    if lib is not None:
+        out = np.empty(n_out, np.int32)
+        scratch = np.empty(n, np.float32)
+        lib.o4d_fps(xyz, n, n_out, int(start_idx), out, scratch)
+    else:  # numpy fallback.
+        out = np.empty(n_out, np.int32)
+        out[0] = start_idx
+        min_d = np.full(n, np.inf, np.float32)
+        for s in range(1, n_out):
+            d = np.sum((xyz - xyz[out[s - 1]]) ** 2, axis=-1)
+            np.minimum(min_d, d, out=min_d)
+            out[s] = int(np.argmax(min_d))
+    return np.sort(out) if sort_result else out
+
+
+def nn1_host(query, keys):
+    '''Exact 1-NN (Euclidean): the sklearn-KDTree replacement for test-time GT
+    labels. :return (dists (N,), idx (N,) int32).'''
+    query = np.ascontiguousarray(np.asarray(query, np.float32)[:, :3])
+    keys = np.ascontiguousarray(np.asarray(keys, np.float32)[:, :3])
+    lib = _load()
+    if lib is not None:
+        d = np.empty(query.shape[0], np.float32)
+        i = np.empty(query.shape[0], np.int32)
+        lib.o4d_nn1(query, query.shape[0], keys, keys.shape[0], d, i)
+        return d, i
+    diffs = np.linalg.norm(query[:, None] - keys[None], axis=-1)
+    i = diffs.argmin(axis=-1).astype(np.int32)
+    return diffs[np.arange(len(query)), i], i
+
+
+def knn_host(query, keys, k):
+    '''Exact kNN on host. :return (dists (N, k), idx (N, k) int32) ascending.'''
+    query = np.ascontiguousarray(np.asarray(query, np.float32)[:, :3])
+    keys = np.ascontiguousarray(np.asarray(keys, np.float32)[:, :3])
+    k = min(int(k), keys.shape[0])
+    lib = _load()
+    if lib is not None:
+        d = np.empty((query.shape[0], k), np.float32)
+        i = np.empty((query.shape[0], k), np.int32)
+        lib.o4d_knn(query, query.shape[0], keys, keys.shape[0], k, d, i)
+        return d, i
+    diffs = np.linalg.norm(query[:, None] - keys[None], axis=-1)
+    idx = np.argsort(diffs, axis=-1, kind='stable')[:, :k].astype(np.int32)
+    return np.take_along_axis(diffs, idx, axis=-1), idx

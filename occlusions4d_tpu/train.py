@@ -1,0 +1,268 @@
+'''
+Training driver: optimizer, LR schedule, jitted + batch-sharded train step, epoch loop,
+checkpointing, NaN guards.
+
+Capability parity with /root/reference/train.py:
+  * AdamW lr=1e-3, weight_decay=1e-2, eps=1e-4 (mixed precision) / 1e-8
+    (train.py:313-314); MultiStep LR at 2/5, 3/5, 4/5 of epochs with gamma=lr_decay
+    (train.py:315-319); global-norm gradient clip 0.2 (train.py:107-109).
+  * Mixed precision: bf16 compute policy replaces fp16 + GradScaler (bf16 needs no
+    loss scaling on TPU).
+  * NaN-gradient detection and NaN-parameter hard fail (train.py:112-122) as on-device
+    flags checked by the host loop; non-finite-gradient steps are skipped (the
+    reference merely logged and stepped anyway - skipping is strictly safer).
+  * Bounded per-step exception tolerance (<= 12/epoch, train.py:87-94) for host-side
+    data errors.
+  * Checkpoint per epoch: model_{e} + rolling, carrying params, optimizer state,
+    epoch, and all constructor args (train.py:336-357).
+
+Parallelism: the batch axis is sharded over a 1-D 'dp' mesh; XLA inserts the gradient
+all-reduce over ICI from the sharding annotations (replaces nn.DataParallel).
+
+Run: python -m occlusions4d_tpu.train --data_path ... (flags mirror the reference CLI).
+'''
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import checkpoint as ckpt_lib
+from .config import TrainConfig, train_args
+from .models import factory
+from .parallel import make_mesh, shard_batch, replicated
+from .pipeline import PipelineConfig, TrainPipeline
+from .sampler import SamplerConfig
+from .utils.logvis import StepLogger
+
+__all__ = ['build_optimizer', 'make_train_step', 'Trainer', 'main']
+
+
+def build_optimizer(cfg: TrainConfig, steps_per_epoch):
+    '''AdamW + multistep schedule + global-norm clip (train.py:107-122, 313-319).'''
+    milestones = [(cfg.num_epochs * 2) // 5, (cfg.num_epochs * 3) // 5,
+                  (cfg.num_epochs * 4) // 5]
+    boundaries = {m * steps_per_epoch: cfg.lr_decay for m in milestones if m > 0}
+    schedule = optax.piecewise_constant_schedule(cfg.learn_rate, boundaries)
+    eps = 1e-4 if cfg.mixed_precision else 1e-8
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip) if cfg.gradient_clip > 0
+        else optax.identity(),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=eps, weight_decay=1e-2),
+    )
+    return tx, schedule
+
+
+def make_train_step(pipeline: TrainPipeline, tx):
+    '''Returns jitted train_step(state, batch, rng) -> (state, metrics).'''
+
+    def step_fn(state, batch, rng):
+        params, opt_state, step = state['params'], state['opt_state'], state['step']
+        (loss, (losses, aux)), grads = jax.value_and_grad(
+            pipeline.loss, has_aux=True)(params, batch, rng)
+
+        grad_leaves = jax.tree_util.tree_leaves(grads)
+        grads_finite = jnp.all(jnp.stack(
+            [jnp.all(jnp.isfinite(g)) for g in grad_leaves]))
+        grad_norm = optax.global_norm(grads)
+
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # Skip the update on non-finite gradients (train.py:112-114 logs; we skip).
+        new_params, new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(grads_finite, new, old),
+            (new_params, new_opt_state), (params, opt_state))
+
+        params_finite = jnp.all(jnp.stack(
+            [jnp.all(jnp.isfinite(p)) for p in jax.tree_util.tree_leaves(new_params)]))
+
+        metrics = dict(total_loss=loss, grad_norm=grad_norm,
+                       grads_finite=grads_finite, params_finite=params_finite,
+                       sample_ok=aux['sample_ok'],
+                       solid_sbs=aux['solid_sbs'], air_sbs=aux['air_sbs'],
+                       **{f'loss_{k}': v for k, v in losses.items()})
+        new_state = dict(params=new_params, opt_state=new_opt_state, step=step + 1)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(pipeline: TrainPipeline):
+    def eval_fn(state, batch, rng):
+        from .losses import total_loss
+        losses, aux = pipeline.forward(state['params'], batch, rng)
+        loss = total_loss(losses, pipeline.cfg.loss_config)
+        return dict(total_loss=loss, sample_ok=aux['sample_ok'],
+                    **{f'loss_{k}': v for k, v in losses.items()})
+    return jax.jit(eval_fn)
+
+
+class Trainer:
+    '''Orchestrates epochs over a data source (any iterable of batch dicts).'''
+
+    def __init__(self, cfg: TrainConfig, data_kind, logger=None, mesh=None):
+        self.cfg = cfg
+        self.data_kind = data_kind
+        self.logger = logger or StepLogger(context='train', batch_size=cfg.batch_size)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.data_parallel)
+
+        dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+        self.encoder, self.decoder, self.encoder_args, self.decoder_args = \
+            factory.build_models(cfg, data_kind, dtype=dtype)
+        self.sampler_args = factory.build_sampler_args(cfg, data_kind)
+        pipe_cfg = PipelineConfig(
+            color_mode=cfg.color_mode, semantic_classes=cfg.semantic_classes,
+            past_frames=cfg.past_frames, future_frames=cfg.future_frames,
+            density_lw=cfg.density_lw, color_lw=cfg.color_lw,
+            segmentation_lw=cfg.segmentation_lw, tracking_lw=cfg.tracking_lw)
+        self.pipeline = TrainPipeline(self.encoder, self.decoder,
+                                      SamplerConfig(**self.sampler_args), pipe_cfg)
+        self.state = None
+        self._train_step = None
+        self._eval_step = None
+        self.start_epoch = cfg.start_epoch
+
+    # ------------------------------------------------------------------ state --
+
+    def init_state(self, example_batch, seed=None, steps_per_epoch=1000):
+        seed = self.cfg.seed if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        k_e, k_d, k_fps = jax.random.split(rng, 3)
+        # Params are independent of the point count; init at a small N so the FPS
+        # loop is not executed eagerly at full scale (that takes minutes on TPU).
+        pcl = jnp.asarray(example_batch['pcl_input'][:1])
+        n_init = min(pcl.shape[1], 512)
+        pcl = pcl[:, :n_init]
+        enc_vars = jax.jit(self.encoder.init)({'params': k_e, 'fps': k_fps}, pcl)
+        abstract, fg, _ = jax.jit(self.encoder.apply)(enc_vars, pcl,
+                                                      rngs={'fps': k_fps})
+        q = jnp.zeros((1, 64, 4), jnp.float32)
+        dec_vars = jax.jit(self.decoder.init)(k_d, q, abstract, fg)
+        params = dict(encoder=enc_vars, decoder=dec_vars)
+
+        self.tx, self.schedule = build_optimizer(self.cfg, steps_per_epoch)
+        opt_state = self.tx.init(params)
+        self.state = dict(params=params, opt_state=opt_state,
+                          step=jnp.zeros((), jnp.int32))
+        # Replicate across the mesh.
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self._train_step = make_train_step(self.pipeline, self.tx)
+        self._eval_step = make_eval_step(self.pipeline)
+        return self.state
+
+    def resume(self, path, steps_per_epoch=1000):
+        payload = ckpt_lib.load_checkpoint(path)
+        self.tx, self.schedule = build_optimizer(self.cfg, steps_per_epoch)
+        self.state = jax.device_put(payload['state'], replicated(self.mesh))
+        self._train_step = make_train_step(self.pipeline, self.tx)
+        self._eval_step = make_eval_step(self.pipeline)
+        self.start_epoch = payload['epoch'] + 1
+        return self.state
+
+    def save(self, epoch):
+        if not self.cfg.output_path:
+            return
+        meta = dict(config=vars(self.cfg), encoder_args=self.encoder_args,
+                    decoder_args=self.decoder_args, sampler_args=self.sampler_args,
+                    data_kind=self.data_kind)
+        ckpt_lib.save_checkpoint(self.cfg.output_path, epoch, self.state, meta=meta)
+
+    # ------------------------------------------------------------------- loops --
+
+    def run_epoch(self, epoch, stage, data_iter, num_steps=None):
+        assert stage in ('train', 'val', 'val_aug')
+        is_train = stage == 'train'
+        rng = jax.random.PRNGKey(self.cfg.seed * 1000 + epoch * 10
+                                 + (0 if is_train else 1))
+        num_exceptions = 0
+        metrics_hist = []
+        start = time.time()
+
+        for cur_step, batch in enumerate(data_iter):
+            if num_steps is not None and cur_step >= num_steps:
+                break
+            rng, k = jax.random.split(rng)
+            try:
+                # meta_data stays on host (per-example bookkeeping, not step input).
+                batch = {k2: v for k2, v in batch.items() if k2 != 'meta_data'}
+                batch = shard_batch(batch, self.mesh)
+            except Exception as e:  # host-side data failure tolerance (train.py:87-94).
+                num_exceptions += 1
+                if num_exceptions >= 12:
+                    raise
+                self.logger.exception(e)
+                continue
+
+            if is_train:
+                self.state, metrics = self._train_step(self.state, batch, k)
+            else:
+                metrics = self._eval_step(self.state, batch, k)
+
+            if cur_step % 32 == 0:  # host sync for guards + console cadence.
+                m = {k2: np.asarray(v) for k2, v in metrics.items()}
+                if is_train and not bool(m['grads_finite']):
+                    self.logger.error('NaN/Inf gradient detected! Step skipped.')
+                if is_train and not bool(m['params_finite']):
+                    raise RuntimeError('NaN model parameter detected!')
+                loss_terms = {k2: float(v) for k2, v in m.items()
+                              if k2.startswith('loss_')}
+                self.logger.handle_step(epoch, stage, cur_step, int(m.get('step', 0))
+                                        if 'step' in m else cur_step, num_steps or -1,
+                                        float(m['total_loss']), loss_terms)
+                for name, val in loss_terms.items():
+                    self.logger.report_scalar(f'{stage}/{name}', val, remember=True)
+                self.logger.report_scalar(f'{stage}/total_loss',
+                                          float(m['total_loss']), remember=True)
+                metrics_hist.append(m)
+
+        self.logger.info(f'[{stage}] epoch {epoch} finished in '
+                         f'{time.time() - start:.1f}s')
+        return metrics_hist
+
+    def fit(self, train_loader_fn, val_loader_fn=None, steps_per_epoch=None):
+        '''
+        :param train_loader_fn: epoch -> iterable of batches.
+        '''
+        for epoch in range(self.start_epoch, self.cfg.num_epochs):
+            self.logger.info(f'Epoch (1-based): {epoch + 1} / {self.cfg.num_epochs}')
+            self.run_epoch(epoch, 'train', train_loader_fn(epoch), steps_per_epoch)
+            self.save(epoch)
+            if val_loader_fn is not None:
+                self.run_epoch(epoch, 'val_aug', val_loader_fn(epoch), steps_per_epoch)
+            self.logger.epoch_finished(epoch)
+
+
+def main(cfg: TrainConfig, logger=None):
+    '''CLI entry: mirrors /root/reference/train.py:162-365.'''
+    from .data import create_train_val_loaders
+    logger = logger or StepLogger(
+        log_dir=os.path.join(cfg.log_root, cfg.tag or 'run'),
+        context='train', batch_size=cfg.batch_size)
+    logger.info(f'Args: {cfg}')
+    logger.save_args(cfg)
+    np.random.seed(cfg.seed)
+
+    (data_kind, train_loader, val_loader, dset_args) = \
+        create_train_val_loaders(cfg, logger)
+    logger.info(f'data_kind: {data_kind}  output: {cfg.output_path}')
+
+    trainer = Trainer(cfg, data_kind, logger=logger)
+    example = next(iter(train_loader.epoch(0)))
+    steps_per_epoch = train_loader.steps_per_epoch
+    if cfg.resume:
+        trainer.resume(cfg.resume, steps_per_epoch)
+        logger.info(f'Resumed from {cfg.resume} at epoch {trainer.start_epoch}')
+    else:
+        trainer.init_state(example, steps_per_epoch=steps_per_epoch)
+    trainer.fit(lambda e: train_loader.epoch(e),
+                (lambda e: val_loader.epoch(e)) if val_loader else None,
+                steps_per_epoch=steps_per_epoch)
+    return trainer
+
+
+if __name__ == '__main__':
+    main(train_args())
