@@ -1,0 +1,99 @@
+'''
+Headline benchmark: dense 4D-field inference at the reference eval workload
+(/root/reference/README.md:52) - 524288 grid implicit queries for one scene at
+implicit_batch_size 32768, gv1 model scale (n_points=14336 encoder), on real TPU.
+
+North star (BASELINE.md): full scene in < 2 s on v5e-8; tracked metrics are implicit
+queries/sec/chip and encoder forward ms at n_points=14336.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+vs_baseline is the speedup vs the 2 s north-star target (so > 1.0 beats it).
+'''
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from occlusions4d_tpu.config import TrainConfig, verify_args
+    from occlusions4d_tpu.models import factory
+    from occlusions4d_tpu.evaluate.inference import InferenceEngine, squash_eval
+    from occlusions4d_tpu.ops import blind_points_numpy
+
+    cfg = TrainConfig(n_points=14336, pt_feat_dim=36, up_down_blocks=3,
+                      transition_factor=3, pt_num_neighbors=16, down_neighbors=12,
+                      global_size=128, implicit_mlp_blocks=6, cross_attn_layers=2,
+                      cross_attn_neighbors=14, cr_attn_type='c',
+                      color_mode='rgb_nosigmoid', tracking_lw=1.0, color_lw=1.0,
+                      video_len=12, frame_skip=2, pt_cube_bounds=5.0,
+                      cr_cube_bounds=5.0, past_frames=4)
+    verify_args(cfg, is_train=True)
+    encoder, decoder, enc_args, dec_args = factory.build_models(
+        cfg, 'greater', fps_random_start=False)
+
+    rng = np.random.RandomState(0)
+    pcl = jnp.asarray(rng.rand(1, 14336, 8).astype(np.float32) * 2.0 - 1.0)
+    # Params are independent of the point count: init at small N (full-scale init
+    # would run the FPS loop eagerly, taking minutes), then jit-apply at full scale.
+    pcl_small = pcl[:, :512]
+    enc_vars = jax.jit(encoder.init)(jax.random.PRNGKey(0), pcl_small)
+    abstract_s, fg_s, _ = jax.jit(encoder.apply)(enc_vars, pcl_small)
+    q0 = jnp.zeros((1, 128, 4), jnp.float32)
+    dec_vars = jax.jit(decoder.init)(jax.random.PRNGKey(1), q0, abstract_s, fg_s)
+
+    loaded = dict(encoder=encoder, decoder=decoder,
+                  params=dict(encoder=enc_vars, decoder=dec_vars))
+    engine = InferenceEngine(loaded, color_mode=cfg.color_mode,
+                             predict_segmentation=False, semantic_classes=13,
+                             track_mode='none', implicit_batch_size=32768,
+                             query_parallel=-1)
+
+    queries = blind_points_numpy(524288, -1.0, 5.0, 3, 'greater', 4, 'grid')
+    n_queries = queries.shape[0]
+    n_chips = engine.mesh.devices.size
+
+    # Warmup (compile encoder + decoder chunk).
+    abstract, fg = engine.encode(np.asarray(pcl[0]))
+    _ = engine.decode_all(queries[:engine.chunk], abstract, fg)
+
+    # Encoder forward timing (tracked metric 2).
+    t0 = time.time()
+    reps_e = 5
+    for _ in range(reps_e):
+        abstract, fg = engine.encode(np.asarray(pcl[0]))
+        abstract.block_until_ready()
+    enc_ms = (time.time() - t0) / reps_e * 1000.0
+
+    # Full dense scene: encode + all query chunks (tracked metric 1 / north star).
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        abstract, fg = engine.encode(np.asarray(pcl[0]))
+        out = engine.decode_all(queries, abstract, fg)
+    scene_s = (time.time() - t0) / reps
+    qps_chip = n_queries / scene_s / n_chips
+
+    result = {
+        'metric': 'dense_scene_524288_grid_queries_latency',
+        'value': round(scene_s * 1000.0, 1),
+        'unit': 'ms',
+        'vs_baseline': round(2000.0 / (scene_s * 1000.0), 3),
+        'extra': {
+            'queries_per_sec_per_chip': round(qps_chip, 0),
+            'encoder_fwd_ms_n14336': round(enc_ms, 1),
+            'n_chips': n_chips,
+            'actual_grid_queries': int(n_queries),
+            'implicit_batch_size': 32768,
+            'output_checksum': float(np.asarray(out).mean()),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

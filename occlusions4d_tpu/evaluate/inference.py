@@ -1,0 +1,269 @@
+'''
+Inference engine: load models from native or reference checkpoints, evaluate the 4D
+field densely over grid/random query sets, merge per-instance track reruns, and split
+solid from air by predicted density.
+
+Capability parity with /root/reference/eval/inference.py:
+  * load_models (inference.py:23-80): rebuild networks from the constructor kwargs
+    stored in the checkpoint, force deterministic FPS, migrate legacy keys. Accepts
+    both this framework's .pkl checkpoints and the reference's torch .pth layout
+    (the released pretrained/*.pth parity oracles).
+  * perform_inference (inference.py:83-325): blind grid/random query generation,
+    per-track reruns with mark_track rewritten in the input, minibatched decoding,
+    probit squashing, multi_track_merge, 1-NN GT labels, density-threshold split,
+    compress_air.
+
+TPU redesign: the decoder chunk is one jitted call whose query axis is sharded over
+the mesh ('dp'), so dense evaluation scales across chips; chunks stream through a
+fixed-shape compiled function (pad the tail chunk) instead of re-tracing per size.
+'''
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import checkpoint as ckpt_lib
+from ..config import TrainConfig, config_from_dict
+from ..models import factory
+from ..models.encoder import PointEncoder
+from ..models.implicit import LocalImplicitField
+from ..native import nn1_host
+from ..ops import blind_points_numpy
+from ..parallel import make_mesh
+from ..utils.misc import multi_track_merge
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+__all__ = ['load_models', 'InferenceEngine', 'perform_inference']
+
+
+def _strip_mixed_precision(d):
+    d = dict(d)
+    mp = d.pop('mixed_precision', False)
+    return d, mp
+
+
+def load_models(checkpoint_path, epoch=-1, logger=None, dtype=jnp.float32):
+    '''
+    :param checkpoint_path: file or directory; .pth files use the torch bridge.
+    :return dict(engine_params={'encoder','decoder'}, encoder, decoder, encoder_args,
+                 decoder_args, train_config, dset_args, data_kind, epoch).
+    '''
+    print_fn = logger.info if logger is not None else print
+    if os.path.isdir(checkpoint_path):
+        cand_pkl = os.path.join(checkpoint_path,
+                                f'model_{epoch}.pkl' if epoch >= 0 else 'checkpoint.pkl')
+        cand_pth = os.path.join(checkpoint_path,
+                                f'model_{epoch}.pth' if epoch >= 0 else 'checkpoint.pth')
+        checkpoint_path = cand_pkl if os.path.exists(cand_pkl) else cand_pth
+    print_fn(f'Loading weights from: {checkpoint_path}')
+
+    if checkpoint_path.endswith('.pth'):
+        ref = ckpt_lib.load_reference_checkpoint(checkpoint_path)
+        enc_args, _ = _strip_mixed_precision(ref['pcl_args'])
+        dec_args, _ = _strip_mixed_precision(ref['implicit_args'])
+        enc_args['fps_random_start'] = False  # deterministic eval (inference.py:58-59).
+        encoder = PointEncoder(dtype=dtype, **enc_args)
+        decoder = LocalImplicitField(dtype=dtype, **dec_args)
+        params = dict(encoder=ref['encoder_variables'],
+                      decoder=ref['decoder_variables'])
+        train_args = ref['train_args']
+        train_cfg = (config_from_dict(TrainConfig, vars(train_args))
+                     if train_args is not None and hasattr(train_args, '__dict__')
+                     else TrainConfig())
+        return dict(params=params, encoder=encoder, decoder=decoder,
+                    encoder_args=enc_args, decoder_args=dec_args,
+                    train_config=train_cfg, dset_args=ref['dset_args'],
+                    data_kind=None, epoch=ref['epoch'])
+
+    payload = ckpt_lib.load_checkpoint(checkpoint_path, epoch=epoch)
+    meta = payload['meta']
+    enc_args = dict(meta['encoder_args'])
+    enc_args['fps_random_start'] = False
+    dec_args = dict(meta['decoder_args'])
+    encoder = PointEncoder(dtype=dtype, **enc_args)
+    decoder = LocalImplicitField(dtype=dtype, **dec_args)
+    params = payload['state']['params']
+    train_cfg = config_from_dict(TrainConfig, meta.get('config', {}))
+    return dict(params=params, encoder=encoder, decoder=decoder,
+                encoder_args=enc_args, decoder_args=dec_args,
+                train_config=train_cfg, dset_args=meta.get('dset_args'),
+                data_kind=meta.get('data_kind'), epoch=payload['epoch'])
+
+
+def squash_eval(out, color_mode, predict_segmentation, semantic_classes, track_mode):
+    '''Eval-time probit squash (inference.py:216-243); density becomes a probability.'''
+    out = out.at[..., 0].set(jax.nn.sigmoid(out[..., 0]))
+    if color_mode == 'rgb':
+        out = out.at[..., 1:4].set(jax.nn.sigmoid(out[..., 1:4]))
+    elif color_mode == 'rgb_nosigmoid':
+        out = out.at[..., 1:4].set(jnp.clip(out[..., 1:4], 0.0, 1.0))
+    elif color_mode == 'hsv':
+        out = out.at[..., 1:13].set(jax.nn.sigmoid(out[..., 1:13]))
+        out = out.at[..., 13:15].set(jnp.clip(out[..., 13:15], 0.0, 1.0))
+    elif color_mode == 'bins':
+        out = out.at[..., 1:10].set(jax.nn.sigmoid(out[..., 1:10]))
+    if predict_segmentation:
+        out = out.at[..., -semantic_classes:].set(
+            jax.nn.sigmoid(out[..., -semantic_classes:]))
+    if track_mode != 'none':
+        t_idx = factory.track_idx(color_mode)
+        out = out.at[..., t_idx].set(jax.nn.sigmoid(out[..., t_idx]))
+    return out
+
+
+class InferenceEngine:
+    '''Holds jitted encode/decode closures; reuse across steps and track reruns.'''
+
+    def __init__(self, loaded, color_mode, predict_segmentation, semantic_classes,
+                 track_mode='none', implicit_batch_size=65536, mesh=None,
+                 query_parallel=-1):
+        self.encoder = loaded['encoder']
+        self.decoder = loaded['decoder']
+        self.params = loaded['params']
+        self.color_mode = color_mode
+        self.predict_segmentation = predict_segmentation
+        self.semantic_classes = semantic_classes
+        self.track_mode = track_mode
+        self.chunk = implicit_batch_size
+        self.mesh = mesh if mesh is not None else make_mesh(query_parallel)
+        n_dev = self.mesh.devices.size
+        # Chunk must divide across chips for query-axis sharding.
+        self.chunk = max(self.chunk // n_dev, 1) * n_dev
+        self._query_sharding = NamedSharding(self.mesh, P(None, 'dp', None))
+
+        enc, dec = self.encoder, self.decoder
+        self._encode = jax.jit(lambda p, x: enc.apply(p, x))
+        tm = track_mode
+
+        def _decode(p, q, abstract, fg):
+            out, _ = dec.apply(p, q, abstract, fg)
+            return squash_eval(out, color_mode, predict_segmentation,
+                               semantic_classes, tm)
+
+        self._decode = jax.jit(_decode)
+
+        def _decode_many(p, q_chunks, abstract, fg):
+            # q_chunks (n_chunks, 1, chunk, 4): stream chunks on-device; one
+            # compilation, zero per-chunk host round-trips.
+            def body(carry, q):
+                return carry, _decode(p, q, abstract, fg)
+            _, outs = jax.lax.scan(body, None, q_chunks)
+            return outs
+
+        self._decode_many = jax.jit(_decode_many)
+
+    def encode(self, pcl_input):
+        '''pcl_input (N, 8) or (1, N, 8) -> (abstract (1, M, 3+E), global (1, D)).'''
+        if pcl_input.ndim == 2:
+            pcl_input = pcl_input[None]
+        abstract, fg, _ = self._encode(self.params['encoder'], jnp.asarray(pcl_input))
+        return abstract, fg
+
+    def decode_all(self, points_query, abstract, fg):
+        '''
+        Stream all queries through fixed-shape sharded chunks, entirely on device:
+        one H2D transfer of the full query set, one scan over chunks, one D2H.
+        :param points_query (P, 4) numpy array.
+        :return (P, C) numpy array of squashed outputs.
+        '''
+        P_total = points_query.shape[0]
+        n_chunks = -(-P_total // self.chunk)
+        pad = n_chunks * self.chunk - P_total
+        q = np.asarray(points_query, np.float32)
+        if pad:
+            q = np.concatenate([q, np.zeros((pad, 4), np.float32)], axis=0)
+        q = q.reshape(n_chunks, 1, self.chunk, 4)
+        q_dev = jax.device_put(
+            q, NamedSharding(self.mesh, P(None, None, 'dp', None)))
+        outs = self._decode_many(self.params['decoder'], q_dev, abstract, fg)
+        outs = np.asarray(outs).reshape(n_chunks * self.chunk, -1)
+        return outs[:P_total]
+
+
+def perform_inference(pcl_input, pcl_input_sem, pcl_target_frame, engine, min_z,
+                      cube_bounds, color_mode, time_idx, logger=None,
+                      sample_implicit=True, num_sample=16384,
+                      point_sample_mode='random', predict_segmentation=False,
+                      track_mode='none', point_occupancy_radius=0.2,
+                      semantic_classes=13, density_threshold=0.5, data_kind='',
+                      cube_mode=4, compress_air=False, rng=None):
+    '''
+    One frame of test-time prediction (parity: inference.py:83-325).
+    :param pcl_input (N, 8) numpy: (x, y, z, R, G, B, t, mark_track).
+    :param pcl_input_sem (N, 1-3) numpy or None.
+    :param pcl_target_frame (M, 9-11) numpy or None (GT for 1-NN labels).
+    :param engine (InferenceEngine).
+    :return dict with output_solid, output_air, pcl_abstract, features_global,
+        implicit_output, points_query, gt_solid?, gt_air?.
+    '''
+    assert sample_implicit
+    output_track_idx = factory.track_idx(color_mode)
+    input_inst_idx = 0 if data_kind == 'greater' else 1
+    gt_available = pcl_target_frame is not None
+
+    # Track rerun set: every instance with >= 16 points in the input when 'all'
+    # (inference.py:146-169).
+    if track_mode in ('none', 'one'):
+        track_instance_ids = [-1]
+    else:
+        assert data_kind == 'greater'
+        ids, counts = np.unique(pcl_input_sem[..., input_inst_idx],
+                                return_counts=True)
+        track_instance_ids = [int(i) for i, c in zip(ids, counts)
+                              if i >= 0 and c >= 16]
+
+    points_query = blind_points_numpy(num_sample, min_z, cube_bounds, time_idx,
+                                      data_kind, cube_mode, point_sample_mode,
+                                      rng=rng)                       # (P, 4).
+
+    all_abstract, all_global, all_out = [], [], []
+    pcl_input = np.array(pcl_input, np.float32)
+    for mark_inst_id in track_instance_ids:
+        if mark_inst_id >= 0:
+            mask = (pcl_input_sem[..., input_inst_idx] == mark_inst_id)
+            pcl_input[..., -1] = mask.astype(np.float32)
+        abstract, fg = engine.encode(pcl_input)
+        out = engine.decode_all(points_query, abstract, fg)          # (P, C).
+        all_abstract.append(np.asarray(abstract[0]))
+        all_global.append(np.asarray(fg[0]))
+        all_out.append(out)
+
+    (pcl_abstract, features_global, implicit_output) = multi_track_merge(
+        track_instance_ids, all_abstract, all_global, all_out, output_track_idx)
+
+    result = dict(pcl_abstract=pcl_abstract, features_global=features_global,
+                  implicit_output=implicit_output, points_query=points_query)
+
+    # 1-NN GT labels for offline metrics (inference.py:269-277; native host kernel
+    # replaces sklearn KDTree).
+    if gt_available:
+        d, nn_idx = nn1_host(points_query[:, :3], pcl_target_frame[:, :3])
+        target_labels = (d < point_occupancy_radius).astype(np.int64)
+        query_nn1 = pcl_target_frame[nn_idx]
+        points_nngt = np.concatenate([target_labels[:, None], query_nn1], axis=-1)
+
+    points_io = np.concatenate([points_query, implicit_output], axis=-1)
+    solid_sel = points_io[:, 4] >= density_threshold
+    solid_points = points_io[solid_sel]
+    air_points = points_io[~solid_sel]
+
+    if compress_air:
+        if predict_segmentation:
+            air_segm = air_points[:, -semantic_classes:].argmax(axis=-1)
+        else:
+            air_segm = -np.ones(air_points.shape[0])
+        air_points = np.concatenate(
+            [air_points[:, :3], air_points[:, 4:5], air_segm[:, None]], axis=-1)
+        # (A, 5): (x, y, z, density, pred_segm).
+
+    result['output_solid'] = solid_points
+    result['output_air'] = air_points
+    if gt_available:
+        result['gt_solid'] = points_nngt[solid_sel]
+        gt_air = points_nngt[~solid_sel]
+        if compress_air:
+            gt_air = np.concatenate([gt_air[:, :1], gt_air[:, 4:5]], axis=-1)
+        result['gt_air'] = gt_air
+    return result

@@ -1,0 +1,129 @@
+'''
+Test / evaluation driver: load a checkpoint, back-fill test args from train-time
+config, loop over the test set, run dense per-frame inference, and export the
+pcl_io_s{step}.p / metadata_s{step}.p artifacts for offline scoring & visualization.
+
+Capability parity with /root/reference/eval/test.py (argument back-fill at
+test.py:166-191; artifact tuple layout at test.py:111-124).
+
+Run: python -m occlusions4d_tpu.evaluate --resume <tag> --data_path ...
+'''
+
+import os
+import time
+
+import numpy as np
+
+from ..config import TestConfig, test_args
+from ..data import create_test_loader
+from ..utils.logvis import StepLogger
+from .inference import InferenceEngine, load_models, perform_inference
+
+__all__ = ['run_test', 'main']
+
+
+def backfill_from_train(args: TestConfig, train_cfg):
+    '''Checkpoint train args override test args (eval/test.py:166-191).'''
+    args.min_z = train_cfg.min_z
+    args.pt_cube_bounds = getattr(train_cfg, 'pt_cube_bounds', 5.0)
+    args.cr_cube_bounds = getattr(train_cfg, 'cr_cube_bounds', 5.0)
+    args.cube_mode = getattr(train_cfg, 'cube_mode', 4)
+    args.color_mode = getattr(train_cfg, 'color_mode', 'rgb')
+    args.segmentation_lw = train_cfg.segmentation_lw
+    args.tracking_lw = getattr(train_cfg, 'tracking_lw', 0.0)
+    args.point_occupancy_radius = train_cfg.point_occupancy_radius
+    args.semantic_classes = getattr(train_cfg, 'semantic_classes', 13)
+    return args
+
+
+def run_test(args: TestConfig, engine, data_kind, loader, logger):
+    '''Main eval loop (eval/test.py:31-135).'''
+    log_folder = 'test_' + args.test_tag
+    rng = np.random.RandomState(args.seed)
+    start = time.time()
+
+    for cur_step, batch in enumerate(loader.epoch(0)):
+        if cur_step == 0:
+            logger.info(f'First data iteration took {time.time() - start:.3f}s')
+        meta = batch['meta_data'][0]
+        pcl_input = batch['pcl_input'][0]
+        pcl_input_sem = batch['pcl_input_sem'][0]
+        pcl_target = batch['pcl_target'][0]            # (T, M, E).
+        tgt_valid = batch['pcl_target_valid'][0]
+        num_frames = pcl_target.shape[0]
+        sem_for_inference = pcl_input_sem if args.track_mode != 'none' else None
+
+        pcl_all = []
+        for time_idx in range(num_frames):
+            tgt_frame = pcl_target[time_idx][tgt_valid[time_idx]]
+            tgt_for_inference = tgt_frame if args.save_gt else None
+
+            inf = perform_inference(
+                pcl_input, sem_for_inference, tgt_for_inference, engine,
+                args.min_z, args.cr_cube_bounds, args.color_mode, time_idx, logger,
+                sample_implicit=args.sample_implicit, num_sample=args.num_sample,
+                point_sample_mode=args.point_sample_mode,
+                predict_segmentation=args.segmentation_lw > 0.0,
+                track_mode=args.track_mode,
+                point_occupancy_radius=args.point_occupancy_radius,
+                semantic_classes=args.semantic_classes,
+                density_threshold=args.density_threshold, data_kind=data_kind,
+                cube_mode=args.cube_mode, compress_air=True, rng=rng)
+
+            if cur_step % 4 == 0:
+                logger.report_implicit_histograms(
+                    'test', inf['implicit_output'], args.color_mode, time_idx,
+                    args.segmentation_lw > 0.0, args.semantic_classes,
+                    args.tracking_lw > 0.0, cur_step)
+
+            record = (np.asarray(pcl_input), inf['pcl_abstract'],
+                      inf['output_solid'], tgt_frame, inf['output_air'])
+            if args.save_gt:
+                record = record + (np.asarray(pcl_input_sem), inf['points_query'])
+            pcl_all.append(record)
+
+        if args.store_pcl:
+            logger.save_pickle(pcl_all, f'pcl_io_s{cur_step}.p', folder=log_folder)
+
+        logger.report_scalar('test/pcl_input_size', pcl_input.shape[0], step=cur_step)
+        logger.report_scalar('test/pcl_output_size', inf['output_solid'].shape[0],
+                             step=cur_step)
+        logger.report_scalar('test/air_output_size', inf['output_air'].shape[0],
+                             step=cur_step)
+        logger.report_histogram('test/features_global', inf['features_global'],
+                                step=cur_step)
+        logger.save_pickle((meta, batch.get('cam_RT'), batch.get('cam_K')),
+                           f'metadata_s{cur_step}.p', folder=log_folder)
+
+
+def main(args: TestConfig, logger=None):
+    '''CLI entry: mirrors /root/reference/eval/test.py:138-215.'''
+    logger = logger or StepLogger(
+        log_dir=os.path.join(args.log_path, 'test_' + args.test_tag)
+        if args.log_path not in ('', 'auto') else None,
+        context='test')
+    logger.info(f'Args: {args}')
+    np.random.seed(args.seed)
+
+    loaded = load_models(args.resume, epoch=args.epoch, logger=logger)
+    args.test_tag += f'_e{loaded["epoch"]}'
+    backfill_from_train(args, loaded['train_config'])
+
+    data_kind, loader = create_test_loader(args, dict(loaded['dset_args'] or {}),
+                                           logger)
+    if loaded['data_kind'] is not None:
+        assert data_kind == loaded['data_kind'], 'checkpoint/dataset kind mismatch'
+
+    engine = InferenceEngine(
+        loaded, color_mode=args.color_mode,
+        predict_segmentation=args.segmentation_lw > 0.0,
+        semantic_classes=args.semantic_classes, track_mode=args.track_mode,
+        implicit_batch_size=args.implicit_batch_size,
+        query_parallel=args.query_parallel)
+
+    logger.info(f'Final test args: {args}')
+    run_test(args, engine, data_kind, loader, logger)
+
+
+if __name__ == '__main__':
+    main(test_args())

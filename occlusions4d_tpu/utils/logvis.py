@@ -1,0 +1,190 @@
+'''
+Observability: file + stream logging, scalar memory with deferred per-epoch commit,
+artifact export (pickle / npy / json), optional wandb, and the training-step reporter.
+
+Parity with /root/reference/utils/logvis.py:
+  * Logger (logvis.py:18-237): logging sinks, lazy wandb init, report_scalar with
+    remember/commit-mean-or-histogram semantics, save_* artifact helpers;
+  * StepLogger <-> MyLogger (logvis.py:240-538): periodic console loss breakdown,
+    stochastic npy export of input/abstract/target/output point clouds, per-channel
+    histograms of the implicit output.
+
+wandb and matplotlib are optional: everything degrades to file/npy logging when they
+are unavailable (this framework must run in hermetic TPU pods).
+'''
+
+import json
+import logging
+import os
+import pickle
+import sys
+
+import numpy as np
+
+__all__ = ['Logger', 'StepLogger']
+
+
+class Logger:
+    '''Generic logging helper; one instance per (train|test) context.'''
+
+    def __init__(self, log_dir=None, context='main', use_wandb=False):
+        self.log_dir = log_dir
+        self.context = context
+        self.use_wandb = use_wandb
+        self.wandb = None
+        self.scalar_memory = {}          # name -> list of values (deferred commit).
+        self.scalar_memory_hist = set()  # names committed as histograms.
+        self._initialized = False
+
+        self.logger = logging.getLogger(f'o4d.{context}.{id(self):x}')
+        self.logger.setLevel(logging.INFO)
+        self.logger.propagate = False
+        fmt = logging.Formatter('%(asctime)s %(levelname)s %(message)s')
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        self.logger.addHandler(sh)
+        if log_dir is not None:
+            os.makedirs(log_dir, exist_ok=True)
+            fh = logging.FileHandler(os.path.join(log_dir, context + '.log'))
+            fh.setFormatter(fmt)
+            self.logger.addHandler(fh)
+
+    # -- plain logging ------------------------------------------------------------
+
+    def info(self, msg=''):
+        self.logger.info(msg)
+
+    def warning(self, msg=''):
+        self.logger.warning(msg)
+
+    def error(self, msg=''):
+        self.logger.error(msg)
+
+    def exception(self, e):
+        self.logger.exception(e)
+
+    def debug(self, msg=''):
+        self.logger.debug(msg)
+
+    # -- wandb --------------------------------------------------------------------
+
+    def init_wandb(self, project, args, networks=None, name=None):
+        if not self.use_wandb:
+            return
+        try:
+            import wandb
+            wandb.init(project=project, name=name or getattr(args, 'name', None),
+                       config={k: v for k, v in vars(args).items()
+                               if isinstance(v, (int, float, str, bool))})
+            self.wandb = wandb
+        except Exception as e:  # hermetic pods: no network, missing package.
+            self.warning(f'wandb unavailable, falling back to file logging: {e}')
+            self.use_wandb = False
+
+    # -- scalars / histograms -------------------------------------------------------
+
+    def report_scalar(self, name, value, step=None, remember=False,
+                      commit_histogram=False):
+        '''Immediate or accumulated scalar (logvis.py:119-141).'''
+        value = float(value)
+        if remember:
+            self.scalar_memory.setdefault(name, []).append(value)
+            if commit_histogram:
+                self.scalar_memory_hist.add(name)
+        elif self.wandb is not None:
+            self.wandb.log({name: value}, step=step)
+
+    def commit_scalars(self, step=None):
+        '''Deferred mean / histogram commit (logvis.py:133-151).'''
+        out = {}
+        for name, values in self.scalar_memory.items():
+            if not values:
+                continue
+            if name in self.scalar_memory_hist:
+                out[name + '_hist'] = list(values)
+            out[name] = float(np.mean(values))
+        if self.wandb is not None and out:
+            self.wandb.log(out, step=step)
+        for values in self.scalar_memory.values():
+            values.clear()
+        return out
+
+    def report_histogram(self, name, values, step=None):
+        if self.wandb is not None:
+            self.wandb.log({name: self.wandb.Histogram(np.asarray(values))}, step=step)
+
+    def epoch_finished(self, epoch):
+        self.commit_scalars(step=epoch)
+
+    # -- artifacts -------------------------------------------------------------------
+
+    def _artifact_dir(self, sub, folder=None):
+        assert self.log_dir is not None, 'Logger has no log_dir for artifacts.'
+        d = os.path.join(self.log_dir, folder if folder is not None else sub)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def save_args(self, args):
+        if self.log_dir is None:
+            return
+        d = {k: v for k, v in vars(args).items()
+             if isinstance(v, (int, float, str, bool, list, tuple, type(None)))}
+        with open(os.path.join(self.log_dir, f'args_{self.context}.json'), 'w') as f:
+            json.dump(d, f, indent=2)
+
+    def save_pickle(self, obj, file_name, folder=None):
+        fp = os.path.join(self._artifact_dir('pickle', folder), file_name)
+        with open(fp, 'wb') as f:
+            pickle.dump(obj, f, protocol=4)
+        return fp
+
+    def save_numpy(self, arr, file_name, step=None, folder=None):
+        fn = file_name if step is None else f'{file_name}_s{step}'
+        fp = os.path.join(self._artifact_dir('numpy', folder), fn + '.npy')
+        np.save(fp, np.asarray(arr))
+        return fp
+
+
+class StepLogger(Logger):
+    '''Training-step reporter (<-> MyLogger, logvis.py:240-417).'''
+
+    def __init__(self, log_dir=None, context='train', use_wandb=False, batch_size=1):
+        super().__init__(log_dir, context, use_wandb)
+        self.step_interval = max(160 // max(batch_size, 1), 1)
+        self.num_exported = 0
+
+    def handle_step(self, epoch, stage, cur_step, total_step, steps_per_epoch,
+                    total_loss, loss_terms=None, export_arrays=None):
+        '''
+        :param loss_terms (dict): name -> float loss breakdown.
+        :param export_arrays (dict): name -> numpy array point clouds, exported
+            stochastically early in training (logvis.py:300-380 behavior).
+        '''
+        if cur_step % self.step_interval == 0:
+            terms = '  '.join(f'{k}: {v:.4f}' for k, v in (loss_terms or {}).items()
+                              if isinstance(v, float))
+            self.info(f'[{stage}] epoch {epoch}  step {cur_step}/{steps_per_epoch}  '
+                      f'total_loss: {float(total_loss):.4f}  {terms}')
+        if export_arrays and self.log_dir is not None:
+            # Export probability decays over the epoch (mirrors the reference's
+            # early-epoch bias for visual artifacts).
+            p = 0.1 if cur_step < 64 else 0.01
+            if np.random.rand() < p:
+                for name, arr in export_arrays.items():
+                    self.save_numpy(arr, f'{stage}_{name}_e{epoch}', step=total_step)
+                self.num_exported += 1
+
+    def report_implicit_histograms(self, stage, implicit_output, color_mode, time_idx,
+                                   predict_segmentation, semantic_classes,
+                                   predict_tracking, step):
+        '''Per-channel distribution summaries (logvis.py:419-535): density, color,
+        track, segmentation.'''
+        io = np.asarray(implicit_output)
+        self.report_histogram(f'{stage}/density_t{time_idx}', io[..., 0], step=step)
+        q = {'rgb': 3, 'rgb_nosigmoid': 3, 'hsv': 14, 'bins': 9}[color_mode]
+        self.report_histogram(f'{stage}/color_t{time_idx}', io[..., 1:1 + q], step=step)
+        if predict_tracking:
+            self.report_histogram(f'{stage}/track_t{time_idx}', io[..., 1 + q], step=step)
+        if predict_segmentation:
+            self.report_histogram(f'{stage}/segm_t{time_idx}',
+                                  io[..., -semantic_classes:], step=step)

@@ -1,0 +1,191 @@
+'''End-to-end evaluation tests: checkpoint -> dense inference -> artifact export,
+including loading a reference-layout torch .pth checkpoint.'''
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+
+from occlusions4d_tpu import checkpoint as ckpt_lib
+from occlusions4d_tpu.config import TestConfig, TrainConfig, verify_args
+from occlusions4d_tpu.data import synthetic, create_train_val_loaders
+from occlusions4d_tpu.evaluate import (InferenceEngine, load_models,
+                                       perform_inference, backfill_from_train,
+                                       run_test)
+from occlusions4d_tpu.train import Trainer
+from occlusions4d_tpu.utils.logvis import StepLogger, Logger
+
+
+@pytest.fixture(scope='module')
+def setup(tmp_path_factory):
+    '''Tiny trained checkpoint + synthetic GREATER data (train/val/test).'''
+    root = tmp_path_factory.mktemp('greater_eval')
+    synthetic.make_greater_dataset(str(root), num_scenes=1, num_views=2,
+                                   num_frames=16, image_size=32)
+    cfg = TrainConfig(
+        data_path=str(root), batch_size=2, n_points=256, n_data_rnd=512,
+        video_len=4, frame_skip=2, past_frames=2, pt_cube_bounds=5.0,
+        pt_feat_dim=4, up_down_blocks=2, transition_factor=4, pt_num_neighbors=4,
+        down_neighbors=4, global_size=8, num_cr_local_feats=4,
+        implicit_mlp_blocks=3, cross_attn_layers=1, cross_attn_neighbors=4,
+        num_cr_solid=64, color_mode='rgb_nosigmoid', color_lw=1.0,
+        tracking_lw=1.0, num_epochs=2, seed=11, data_parallel=1,
+        output_path=str(tmp_path_factory.mktemp('ckpts') / 'v1_tiny'))
+    verify_args(cfg, is_train=True)
+    logger = Logger(context='eval_setup')
+    kind, train_loader, _, dset_args = create_train_val_loaders(cfg, logger)
+    trainer = Trainer(cfg, kind, logger=logger)
+    batch = next(iter(train_loader.epoch(0)))
+    trainer.init_state(batch, steps_per_epoch=2)
+    # Store dset_args in the checkpoint meta like the reference does.
+    import occlusions4d_tpu.checkpoint as ck
+    meta = dict(config=vars(cfg), encoder_args=trainer.encoder_args,
+                decoder_args=trainer.decoder_args, sampler_args=trainer.sampler_args,
+                data_kind=kind, dset_args=dset_args)
+    ck.save_checkpoint(cfg.output_path, 0, trainer.state, meta=meta)
+    return str(root), cfg, trainer
+
+
+def _test_cfg(root, resume, tmp, **kw):
+    args = TestConfig(data_path=root, resume=resume, num_sample=2048,
+                      implicit_batch_size=512, point_sample_mode='grid',
+                      density_threshold=0.5, seed=3, use_json=False,
+                      log_path=str(tmp), test_tag='t1', query_parallel=1, **kw)
+    verify_args(args, is_train=False)
+    return args
+
+
+def test_load_models_native(setup):
+    root, cfg, trainer = setup
+    loaded = load_models(cfg.output_path)
+    assert loaded['epoch'] == 0
+    assert loaded['encoder_args']['fps_random_start'] is False
+    assert loaded['data_kind'] == 'greater'
+    assert loaded['train_config'].color_mode == 'rgb_nosigmoid'
+
+
+def test_perform_inference_grid(setup):
+    root, cfg, trainer = setup
+    loaded = load_models(cfg.output_path)
+    engine = InferenceEngine(loaded, color_mode='rgb_nosigmoid',
+                             predict_segmentation=False, semantic_classes=13,
+                             track_mode='none', implicit_batch_size=512,
+                             query_parallel=1)
+    rng = np.random.RandomState(0)
+    pcl_input = rng.rand(256, 8).astype(np.float32) * 2 - 1
+    pcl_target = rng.rand(300, 9).astype(np.float32) * 4 - 2
+    res = perform_inference(pcl_input, None, pcl_target, engine, min_z=-1.0,
+                            cube_bounds=5.0, color_mode='rgb_nosigmoid', time_idx=1,
+                            num_sample=2048, point_sample_mode='grid',
+                            point_occupancy_radius=0.2, density_threshold=0.5,
+                            data_kind='greater', compress_air=True, rng=rng)
+    P = res['points_query'].shape[0]
+    assert res['implicit_output'].shape == (P, 5)
+    # Density is a probability after squashing.
+    dens = res['implicit_output'][:, 0]
+    assert dens.min() >= 0.0 and dens.max() <= 1.0
+    # Solid/air split covers all points.
+    assert res['output_solid'].shape[0] + res['output_air'].shape[0] == P
+    # Compressed air: (x, y, z, density, pred_segm).
+    assert res['output_air'].shape[1] == 5
+    # GT 1-NN labels present.
+    assert res['gt_solid'].shape[1] == 1 + 9
+
+
+def test_track_rerun_merge(setup):
+    '''track_mode=all: rerun per instance, merged mark_track column holds ids.'''
+    root, cfg, trainer = setup
+    loaded = load_models(cfg.output_path)
+    engine = InferenceEngine(loaded, color_mode='rgb_nosigmoid',
+                             predict_segmentation=False, semantic_classes=13,
+                             track_mode='all', implicit_batch_size=512,
+                             query_parallel=1)
+    rng = np.random.RandomState(1)
+    pcl_input = rng.rand(256, 8).astype(np.float32)
+    sem = np.zeros((256, 1), np.float32)
+    sem[:64] = 0.0
+    sem[64:128] = 1.0
+    sem[128:] = -1.0
+    res = perform_inference(pcl_input, sem, None, engine, min_z=-1.0,
+                            cube_bounds=5.0, color_mode='rgb_nosigmoid', time_idx=0,
+                            num_sample=512, point_sample_mode='random',
+                            track_mode='all', data_kind='greater', rng=rng)
+    track_col = res['implicit_output'][:, 4]
+    # Merged column contains instance ids or -1, not probabilities.
+    assert set(np.unique(track_col)) <= {-1.0, 0.0, 1.0}
+
+
+def test_run_test_exports_artifacts(setup, tmp_path):
+    root, cfg, trainer = setup
+    args = _test_cfg(os.path.join(root, 'test'), cfg.output_path, tmp_path)
+    loaded = load_models(args.resume)
+    backfill_from_train(args, loaded['train_config'])
+    assert args.cr_cube_bounds == 5.0 and args.color_mode == 'rgb_nosigmoid'
+
+    from occlusions4d_tpu.data import create_test_loader
+    logger = StepLogger(log_dir=str(tmp_path / 'logs'), context='test')
+    data_kind, loader = create_test_loader(args, dict(loaded['dset_args']), logger)
+    assert data_kind == 'greater'
+    engine = InferenceEngine(loaded, color_mode=args.color_mode,
+                             predict_segmentation=False,
+                             semantic_classes=args.semantic_classes,
+                             track_mode='none',
+                             implicit_batch_size=args.implicit_batch_size,
+                             query_parallel=1)
+    # Limit to one step by truncating the loader.
+    class OneStep:
+        def epoch(self, e):
+            for batch in loader.epoch(e):
+                yield batch
+                break
+    run_test(args, engine, data_kind, OneStep(), logger)
+    out_dir = os.path.join(str(tmp_path / 'logs'), 'test_' + args.test_tag)
+    files = os.listdir(out_dir)
+    assert 'pcl_io_s0.p' in files and 'metadata_s0.p' in files
+    with open(os.path.join(out_dir, 'pcl_io_s0.p'), 'rb') as f:
+        pcl_all = pickle.load(f)
+    assert len(pcl_all) == 2  # past_frames target frames.
+    (inp, abstract, solid, tgt, air) = pcl_all[0]
+    assert inp.shape[-1] == 8 and abstract.shape[-1] >= 4
+    assert solid.shape[-1] == 9  # (x, y, z, t, density, R, G, B, mark).
+    assert air.shape[-1] == 5
+
+
+def test_load_reference_pth_checkpoint(setup, tmp_path):
+    '''Write a reference-layout torch .pth via the export bridge and load it.'''
+    import torch
+    root, cfg, trainer = setup
+    enc_sd = {k: torch.from_numpy(np.array(v)) for k, v in
+              ckpt_lib.export_torch_state_dict(
+                  trainer.state['params']['encoder'], net='encoder').items()}
+    dec_sd = {k: torch.from_numpy(np.array(v)) for k, v in
+              ckpt_lib.export_torch_state_dict(
+                  trainer.state['params']['decoder'], net='decoder').items()}
+    pth = dict(pcl_net=enc_sd, implicit_net=dec_sd,
+               pcl_args=dict(trainer.encoder_args, mixed_precision=False),
+               implicit_args=dict(trainer.decoder_args, mixed_precision=False),
+               dset_args={}, args=None, epoch=4,
+               optimizer={}, lr_scheduler={}, scaler={})
+    fp = str(tmp_path / 'checkpoint.pth')
+    torch.save(pth, fp)
+
+    loaded = load_models(fp)
+    assert loaded['epoch'] == 4
+    # Forward parity with the native params on a fixed input.
+    engine = InferenceEngine(loaded, color_mode='rgb_nosigmoid',
+                             predict_segmentation=False, semantic_classes=13,
+                             implicit_batch_size=256, query_parallel=1)
+    rng = np.random.RandomState(2)
+    pcl = rng.rand(256, 8).astype(np.float32)
+    a1, g1 = engine.encode(pcl)
+
+    loaded2 = load_models(cfg.output_path)
+    engine2 = InferenceEngine(loaded2, color_mode='rgb_nosigmoid',
+                              predict_segmentation=False, semantic_classes=13,
+                              implicit_batch_size=256, query_parallel=1)
+    a2, g2 = engine2.encode(pcl)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
