@@ -57,9 +57,11 @@ def main():
     n_queries = queries.shape[0]
     n_chips = engine.mesh.devices.size
 
-    # Warmup (compile encoder + decoder chunk).
+    # Warmup (compile encoder + the full-shape chunked decode scan; a partial
+    # query set would compile a different scan length and leave the timed reps
+    # paying a recompile).
     abstract, fg = engine.encode(np.asarray(pcl[0]))
-    _ = engine.decode_all(queries[:engine.chunk], abstract, fg)
+    _ = engine.decode_all(queries, abstract, fg)
 
     # Encoder forward timing (tracked metric 2).
     t0 = time.time()

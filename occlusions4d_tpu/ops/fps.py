@@ -74,13 +74,23 @@ def fps(xyz, n_out, *, valid=None, start_idx=0, sort_result=True):
     return _fps_single(jnp.asarray(xyz)[..., :3], n_out, valid, start_idx, sort_result)
 
 
-def fps_batched(xyz, n_out, *, valid=None, start_idx=None, sort_result=True):
+def fps_batched(xyz, n_out, *, valid=None, start_idx=None, sort_result=True,
+                use_pallas=None):
     '''
-    Batched FPS via vmap.
+    Batched FPS. On TPU this dispatches to the Pallas kernel (ops/pallas_fps.py:
+    whole loop on-core, ~2.5x faster at n=14336); elsewhere it vmaps the XLA
+    fori_loop version. Both produce identical indices.
     :param xyz (B, N, C) array.
     :param start_idx (B,) int array or None (deterministic start 0).
+    :param use_pallas (bool or None): force a path; None auto-selects by backend.
     :return (B, n_out) int32 indices.
     '''
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    if use_pallas:
+        from .pallas_fps import fps_pallas_batched
+        return fps_pallas_batched(xyz, n_out, valid=valid, start_idx=start_idx,
+                                  sort_result=sort_result)
     xyz = jnp.asarray(xyz)[..., :3]
     B = xyz.shape[0]
     if start_idx is None:

