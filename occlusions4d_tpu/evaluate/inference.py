@@ -164,22 +164,27 @@ class InferenceEngine:
     def decode_all(self, points_query, abstract, fg):
         '''
         Stream all queries through fixed-shape sharded chunks, entirely on device:
-        one H2D transfer of the full query set, one scan over chunks, one D2H.
-        :param points_query (P, 4) numpy array.
-        :return (P, C) numpy array of squashed outputs.
+        (at most) one H2D transfer of the full query set, one scan over chunks.
+        :param points_query (P, 4) numpy or jax array. A device-resident input
+            (e.g. from ops.blind_points_device) skips the host->device copy and
+            the result stays on device.
+        :return (P, C) array of squashed outputs - numpy for numpy input, device
+            array for device input (call np.asarray to fetch).
         '''
+        on_device = isinstance(points_query, jax.Array)
         P_total = points_query.shape[0]
         n_chunks = -(-P_total // self.chunk)
         pad = n_chunks * self.chunk - P_total
-        q = np.asarray(points_query, np.float32)
+        xp = jnp if on_device else np
+        q = points_query if on_device else np.asarray(points_query, np.float32)
         if pad:
-            q = np.concatenate([q, np.zeros((pad, 4), np.float32)], axis=0)
+            q = xp.concatenate([q, xp.zeros((pad, 4), np.float32)], axis=0)
         q = q.reshape(n_chunks, 1, self.chunk, 4)
         q_dev = jax.device_put(
             q, NamedSharding(self.mesh, P(None, None, 'dp', None)))
         outs = self._decode_many(self.params['decoder'], q_dev, abstract, fg)
-        outs = np.asarray(outs).reshape(n_chunks * self.chunk, -1)
-        return outs[:P_total]
+        outs = outs.reshape(n_chunks * self.chunk, -1)[:P_total]
+        return outs if on_device else np.asarray(outs)
 
 
 def perform_inference(pcl_input, pcl_input_sem, pcl_target_frame, engine, min_z,

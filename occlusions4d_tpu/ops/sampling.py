@@ -14,7 +14,7 @@ import numpy as np
 from .bounds import Cuboid, blind_sample_bounds
 
 __all__ = ['sample_uniform_3ball', 'sample_blind_random', 'grid_points_numpy',
-           'blind_points_numpy']
+           'blind_points_numpy', 'blind_points_device']
 
 
 def sample_uniform_3ball(key, num_points, max_radius, min_radius=0.0):
@@ -90,3 +90,36 @@ def blind_points_numpy(num_sample, min_z, cube_bounds, time_idx, data_kind,
         raise ValueError(point_sample_mode)
     t = np.full((xyz.shape[0], 1), float(time_idx), np.float32)
     return np.concatenate([xyz, t], axis=-1)
+
+
+def blind_points_device(num_sample, min_z, cube_bounds, time_idx, data_kind,
+                        cube_mode, point_sample_mode, key=None):
+    '''
+    Device-side blind query generation: same points as blind_points_numpy ('grid'
+    mode is bit-identical by construction) but materialized directly in HBM,
+    avoiding the host->device transfer of the full query set (which costs ~100x the
+    compute on a tunneled TPU). Grid dimensions are host-computed from static
+    scalars, so the result shape stays static.
+    :return (P, 4) float32 jax array with (x, y, z, t).
+    '''
+    cuboid = blind_sample_bounds(data_kind, cube_bounds, min_z, cube_mode)
+    if point_sample_mode == 'random':
+        assert key is not None, 'random mode needs a PRNG key'
+        xyz = sample_blind_random(key, num_sample, cuboid)
+    elif point_sample_mode == 'grid':
+        per_unit = np.cbrt(num_sample / cuboid.volume)
+        nx = int(np.ceil(per_unit * (cuboid.x_max - cuboid.x_min)))
+        ny = int(np.ceil(per_unit * (cuboid.y_max - cuboid.y_min)))
+        nz = int(np.ceil(per_unit * (cuboid.z_max - cuboid.z_min)))
+        px = ((jnp.arange(nx, dtype=jnp.float32) + 0.5)
+              * ((cuboid.x_max - cuboid.x_min) / nx) + cuboid.x_min)
+        py = ((jnp.arange(ny, dtype=jnp.float32) + 0.5)
+              * ((cuboid.y_max - cuboid.y_min) / ny) + cuboid.y_min)
+        pz = ((jnp.arange(nz, dtype=jnp.float32) + 0.5)
+              * ((cuboid.z_max - cuboid.z_min) / nz) + cuboid.z_min)
+        gx, gy, gz = jnp.meshgrid(px, py, pz, indexing='ij')  # x-major, z fastest.
+        xyz = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
+    else:
+        raise ValueError(point_sample_mode)
+    t = jnp.full((xyz.shape[0], 1), jnp.float32(time_idx))
+    return jnp.concatenate([xyz, t], axis=-1)
