@@ -175,21 +175,31 @@ class Trainer:
 
     def run_epoch(self, epoch, stage, data_iter, num_steps=None):
         assert stage in ('train', 'val', 'val_aug')
+        from .utils.profiling import PhaseTimer
         is_train = stage == 'train'
         rng = jax.random.PRNGKey(self.cfg.seed * 1000 + epoch * 10
                                  + (0 if is_train else 1))
         num_exceptions = 0
         metrics_hist = []
+        timer = PhaseTimer()
         start = time.time()
 
-        for cur_step, batch in enumerate(data_iter):
+        data_iter = iter(data_iter)
+        cur_step = -1
+        while True:
+            cur_step += 1
             if num_steps is not None and cur_step >= num_steps:
+                break
+            with timer.phase('data'):
+                batch = next(data_iter, None)
+            if batch is None:
                 break
             rng, k = jax.random.split(rng)
             try:
                 # meta_data stays on host (per-example bookkeeping, not step input).
                 batch = {k2: v for k2, v in batch.items() if k2 != 'meta_data'}
-                batch = shard_batch(batch, self.mesh)
+                with timer.phase('h2d'):
+                    batch = shard_batch(batch, self.mesh)
             except Exception as e:  # host-side data failure tolerance (train.py:87-94).
                 num_exceptions += 1
                 if num_exceptions >= 12:
@@ -197,13 +207,15 @@ class Trainer:
                 self.logger.exception(e)
                 continue
 
-            if is_train:
-                self.state, metrics = self._train_step(self.state, batch, k)
-            else:
-                metrics = self._eval_step(self.state, batch, k)
+            with timer.phase('step'):
+                if is_train:
+                    self.state, metrics = self._train_step(self.state, batch, k)
+                else:
+                    metrics = self._eval_step(self.state, batch, k)
 
             if cur_step % 32 == 0:  # host sync for guards + console cadence.
-                m = {k2: np.asarray(v) for k2, v in metrics.items()}
+                with timer.phase('sync'):
+                    m = {k2: np.asarray(v) for k2, v in metrics.items()}
                 if is_train and not bool(m['grads_finite']):
                     self.logger.error('NaN/Inf gradient detected! Step skipped.')
                 if is_train and not bool(m['params_finite']):
@@ -221,6 +233,7 @@ class Trainer:
 
         self.logger.info(f'[{stage}] epoch {epoch} finished in '
                          f'{time.time() - start:.1f}s')
+        timer.report(self.logger, prefix=f'[{stage}] ')
         return metrics_hist
 
     def fit(self, train_loader_fn, val_loader_fn=None, steps_per_epoch=None):

@@ -144,6 +144,59 @@ class Logger:
         np.save(fp, np.asarray(arr))
         return fp
 
+    # -- visual artifacts (logvis.py:160-209) ------------------------------------
+
+    @staticmethod
+    def _to_uint8(img):
+        img = np.asarray(img)
+        if img.dtype in (np.float32, np.float64):
+            img = (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+        return img
+
+    def save_image(self, img, file_name, step=None, folder=None, wandb_name=None):
+        '''Save an (H, W[, 3]) image as png; optionally mirror to wandb.'''
+        import imageio.v2 as imageio
+        fn = file_name if step is None else f'{file_name}_s{step}'
+        fp = os.path.join(self._artifact_dir('visuals', folder), fn + '.png')
+        img = self._to_uint8(img)
+        imageio.imwrite(fp, img)
+        if self.wandb is not None and wandb_name is not None:
+            self.wandb.log({wandb_name: self.wandb.Image(img)}, step=step)
+        return fp
+
+    def save_video(self, frames, file_name, step=None, folder=None, fps=8,
+                   wandb_name=None):
+        '''Save a (T, H, W, 3) frame stack as mp4 (utils.py:138-156 IO path).'''
+        import imageio.v2 as imageio
+        fn = file_name if step is None else f'{file_name}_s{step}'
+        frames = [self._to_uint8(f) for f in frames]
+        base = self._artifact_dir('visuals', folder)
+        try:  # mp4 needs the ffmpeg plugin; GIF is the hermetic fallback.
+            fp = os.path.join(base, fn + '.mp4')
+            imageio.mimwrite(fp, frames, fps=fps, quality=8)
+        except Exception:
+            fp = os.path.join(base, fn + '.gif')
+            imageio.mimwrite(fp, frames, fps=fps)
+        if self.wandb is not None and wandb_name is not None:
+            self.wandb.log({wandb_name: self.wandb.Video(fp, fps=fps)}, step=step)
+        return fp
+
+    def save_gallery(self, frames, file_name, step=None, folder=None,
+                     num_cols=None, wandb_name=None):
+        '''Tile (T, H, W, 3) frames into one grid image (logvis.py:188-209).'''
+        frames = np.stack([self._to_uint8(f) for f in np.asarray(frames)])
+        (T, H, W) = frames.shape[:3]
+        cols = num_cols or int(np.ceil(np.sqrt(T)))
+        rows = -(-T // cols)
+        pad = rows * cols - T
+        if pad:
+            frames = np.concatenate(
+                [frames, np.zeros((pad,) + frames.shape[1:], frames.dtype)])
+        grid = frames.reshape(rows, cols, H, W, -1)
+        grid = grid.transpose(0, 2, 1, 3, 4).reshape(rows * H, cols * W, -1)
+        return self.save_image(grid.squeeze(), file_name, step=step, folder=folder,
+                               wandb_name=wandb_name)
+
 
 class StepLogger(Logger):
     '''Training-step reporter (<-> MyLogger, logvis.py:240-417).'''

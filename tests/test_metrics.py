@@ -1,0 +1,130 @@
+'''Offline results/metrics tooling tests (evaluate/results.py, evaluate/metrics.py)
+plus the new logvis artifact savers and the profiling subsystem.'''
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from occlusions4d_tpu.evaluate.metrics import (frame_metrics, evaluate_results,
+                                               chamfer_distance)
+from occlusions4d_tpu.evaluate.results import (find_test_result_files,
+                                               load_test_results,
+                                               merge_steps_into_long)
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(3)
+
+
+def _make_target(rng, m=200):
+    # GREATER layout: (x, y, z, inst, view, R, G, B, mark).
+    tgt = np.zeros((m, 9), np.float32)
+    tgt[:, :3] = rng.rand(m, 3) * 4.0 - 2.0
+    tgt[:, 3] = rng.randint(0, 3, m)
+    tgt[:, 5:8] = rng.rand(m, 3)
+    tgt[:, 8] = (tgt[:, 3] == 1).astype(np.float32)
+    return tgt
+
+
+def _make_outputs(rng, tgt, color_mode='rgb'):
+    # Solid = jittered copies of target points (true positives) + far garbage (FPs).
+    n_tp, n_fp, n_fn = 120, 30, 40
+    rows_tp = tgt[rng.randint(0, len(tgt), n_tp)]
+    solid_tp = np.concatenate([
+        rows_tp[:, :3] + rng.randn(n_tp, 3) * 0.01,   # xyz near targets.
+        np.zeros((n_tp, 1), np.float32),              # t
+        np.full((n_tp, 1), 0.9, np.float32),          # density
+        rows_tp[:, 5:8],                              # colors (perfect).
+        rows_tp[:, 8:9],                              # mark.
+    ], axis=-1)
+    solid_fp = solid_tp[:n_fp].copy()
+    solid_fp[:, :3] += 100.0                          # far from every target.
+    output_solid = np.concatenate([solid_tp, solid_fp])
+    # Air: mostly far away (true negatives) + a few near targets (false negatives).
+    air = np.zeros((200, 5), np.float32)
+    air[:, :3] = rng.rand(200, 3) * 4 + 50.0
+    air[:n_fn, :3] = tgt[rng.randint(0, len(tgt), n_fn), :3]
+    return output_solid, air
+
+
+def test_frame_metrics_sane(rng):
+    tgt = _make_target(rng)
+    output_solid, output_air = _make_outputs(rng, tgt)
+    m = frame_metrics(output_solid, output_air, tgt, 'greater', 0.2, 'rgb')
+    assert 0.7 < m['occupancy_precision'] <= 1.0
+    assert 0.6 < m['occupancy_recall'] <= 1.0
+    assert m['occupancy_iou'] <= m['occupancy_f1']
+    assert m['color_mae'] < 0.05                      # colors copied from GT.
+    assert m['chamfer'] > 0.0 and np.isfinite(m['chamfer'])
+    assert 'tracking_precision' in m
+
+
+def test_chamfer_identity(rng):
+    pts = rng.rand(50, 3).astype(np.float32)
+    assert chamfer_distance(pts, pts) < 1e-6
+    assert chamfer_distance(np.zeros((0, 3), np.float32), pts) == float('inf')
+
+
+def test_results_roundtrip_and_aggregate(rng, tmp_path):
+    # Fabricate two steps of exported artifacts under logs/run_x/test_y/.
+    test_dir = tmp_path / 'run_a' / 'test_main'
+    os.makedirs(test_dir)
+    tgt = _make_target(rng)
+    for step in range(2):
+        frames = []
+        for t in range(3):
+            solid, air = _make_outputs(rng, tgt)
+            pcl_input = np.zeros((64, 8), np.float32)
+            pcl_input[:, -2] = rng.randint(0, 4, 64)      # time channel.
+            abstract = rng.rand(16, 6).astype(np.float32)
+            frames.append((pcl_input, abstract, solid, tgt, air))
+        with open(test_dir / f'pcl_io_s{step}.p', 'wb') as f:
+            pickle.dump(frames, f)
+
+    files = find_test_result_files(str(tmp_path / 'run'))
+    assert len(files) == 2
+
+    loaded = load_test_results(str(tmp_path / 'run'))
+    assert len(loaded) == 2 and len(loaded[0]) == 3
+
+    agg = evaluate_results(loaded, 'greater', 0.2, 'rgb')
+    assert agg['num_frames'] == 6
+    assert 0.0 < agg['occupancy_f1'] <= 1.0
+
+    long = merge_steps_into_long(loaded)
+    assert len(long) == 2
+    # Selected output frame gets restamped with the step index as time.
+    assert (long[1][2][:, 3] == 1).all()
+    # First input is the concatenation of all selected inputs.
+    assert long[0][0].shape[0] >= long[1][0].shape[0]
+
+
+def test_logvis_savers(tmp_path, rng):
+    from occlusions4d_tpu.utils.logvis import Logger
+    logger = Logger(log_dir=str(tmp_path), context='t')
+    img = rng.rand(16, 24, 3).astype(np.float32)
+    fp = logger.save_image(img, 'im')
+    assert os.path.exists(fp)
+    fp = logger.save_gallery(rng.rand(5, 8, 8, 3), 'gal', num_cols=3)
+    assert os.path.exists(fp)
+    fp = logger.save_video(rng.rand(4, 16, 16, 3), 'vid', fps=4)
+    assert os.path.exists(fp)
+
+
+def test_phase_timer():
+    from occlusions4d_tpu.utils.profiling import PhaseTimer
+    t = PhaseTimer()
+    with t.phase('a'):
+        pass
+    with t.phase('a'):
+        pass
+    with t.phase('b'):
+        pass
+    s = t.summary()
+    assert s['a'][1] == 2 and s['b'][1] == 1
+    assert 'a:' in t.report()
+    t.reset()
+    assert not t.totals
