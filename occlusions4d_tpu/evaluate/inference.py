@@ -118,7 +118,15 @@ class InferenceEngine:
 
     def __init__(self, loaded, color_mode, predict_segmentation, semantic_classes,
                  track_mode='none', implicit_batch_size=65536, mesh=None,
-                 query_parallel=-1):
+                 query_parallel=-1, fused_decode=None):
+        '''
+        :param fused_decode (bool or None): run the decoder through the fused
+            Pallas cross-attention path (models/fused.py; 2.6x faster per chunk).
+            None auto-enables on TPU for supported configurations. Numerics are
+            bf16-MXU grade, the same class as the XLA path's default-precision
+            dots (exact-f32 parity is asserted in interpreter mode by tests).
+        '''
+        from ..models.fused import fused_field_apply, supports_fused
         self.encoder = loaded['encoder']
         self.decoder = loaded['decoder']
         self.params = loaded['params']
@@ -134,11 +142,21 @@ class InferenceEngine:
         self._query_sharding = NamedSharding(self.mesh, P(None, 'dp', None))
 
         enc, dec = self.encoder, self.decoder
+        if fused_decode is None:
+            fused_decode = (jax.default_backend() == 'tpu'
+                            and supports_fused(dec))
+        self.fused_decode = fused_decode
         self._encode = jax.jit(lambda p, x: enc.apply(p, x))
         tm = track_mode
 
         def _decode(p, q, abstract, fg):
-            out, _ = dec.apply(p, q, abstract, fg)
+            if self.fused_decode:
+                # bf16 MXU passes: the same numeric class as the XLA path's
+                # default-precision dots, at 4x the kernel throughput.
+                out, _ = fused_field_apply(dec, p, q, abstract, fg,
+                                           compute_dtype=jnp.bfloat16)
+            else:
+                out, _ = dec.apply(p, q, abstract, fg)
             return squash_eval(out, color_mode, predict_segmentation,
                                semantic_classes, tm)
 

@@ -1,0 +1,97 @@
+'''
+Fused-kernel fast path for the implicit decoder.
+
+`fused_field_apply` is a pure-function re-expression of
+LocalImplicitField.__call__ (attention mode) over the module's own parameter
+tree, with every cross-attention block executed by the fused Pallas kernel
+(ops/pallas_attention.py) instead of the kNN + gather + MLP + softmax XLA chain.
+Used by the inference engine on TPU; the flax module remains the canonical
+definition (and the training path). Parity is asserted by
+tests/test_pallas_ops.py::test_fused_field_matches_module.
+'''
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import knn, gather_neighbors, inverse_distance_weights
+from ..ops.pallas_attention import fused_knn_vector_attention
+from .implicit import BASE_FREQUENCY, positional_encode
+
+__all__ = ['fused_field_apply', 'supports_fused']
+
+
+def supports_fused(decoder):
+    '''The fused path covers the shipped decoder configuration.'''
+    return (decoder.local_mode == 'attention' and decoder.num_local_features > 0
+            and decoder.cross_attn_neighbors <= 32
+            and all(c == 'c' for c in
+                    decoder.cr_attn_type[:decoder.cross_attn_layers]))
+
+
+def _dense(x, p, act=False):
+    y = x @ p['kernel'] + p.get('bias', 0.0)
+    return jnp.maximum(y, 0.0) if act else y
+
+
+def _resnet_block(x, p, act):
+    net = _dense(act(x), p['fc_0'])
+    dx = _dense(act(net), p['fc_1'])
+    xs = _dense(x, p['shortcut']) if 'shortcut' in p else x
+    return xs + dx
+
+
+def fused_field_apply(decoder, variables, points_query, pcl_abstract,
+                      features_global, abstract_mask=None,
+                      compute_dtype=jnp.float32):
+    '''
+    :param decoder: LocalImplicitField module (for static config).
+    :param variables: its variables dict ({'params': ...}).
+    :param points_query (B, N, 4); pcl_abstract (B, M, 3+E);
+        features_global (B, D); abstract_mask (B, M) bool or None.
+    :return (output (B, N, d_out), penult (B, N, d_hidden)); float32.
+    '''
+    assert supports_fused(decoder), 'configuration not covered by the fused path'
+    p = variables['params']
+    bb = p['backbone']
+    act = (jax.nn.relu if decoder.activation == 'relu' else jax.nn.silu)
+
+    pts_abs = pcl_abstract[..., :3]
+    feats_abs = pcl_abstract[..., 3:]
+    (B, N, _) = points_query.shape
+    q_xyz = points_query[..., :3]
+
+    # Local feature interpolation (implicit.py:328-339 semantics).
+    dists, idx = knn(jax.lax.stop_gradient(q_xyz),
+                     jax.lax.stop_gradient(pts_abs),
+                     decoder.num_local_features, key_mask=abstract_mask)
+    w = inverse_distance_weights(dists, 1e-4)
+    sel = gather_neighbors(feats_abs, idx)
+    features_local = jnp.einsum('bnk,bnke->bne', w, sel)
+    fg = jnp.broadcast_to(features_global[:, None, :],
+                          (B, N, features_global.shape[-1]))
+    features_query = jnp.concatenate([fg, features_local], axis=-1)
+
+    # Backbone with interleaved fused cross-attention.
+    enc = points_query
+    if decoder.pos_encoding_freqs > 0:
+        enc = positional_encode(enc, BASE_FREQUENCY, decoder.pos_encoding_freqs)
+    x = _dense(enc, bb['lin_in'])
+    use_pt = decoder.use_pt_inds
+    for i in range(decoder.n_blocks):
+        x = x + _dense(features_query, bb[f'lin_z_{i}'])
+        x = _resnet_block(x, bb[f'blocks_{i}'], act)
+        if i in use_pt:
+            blk = p[f'pt_blocks_{use_pt[i]}']
+            att = blk['layer2']
+            y = _dense(x, blk['layer1'])
+            q_proj = y @ att['to_q']['kernel']
+            k_all = feats_abs @ att['to_k']['kernel']
+            v_all = feats_abs @ att['to_v']['kernel']
+            y = fused_knn_vector_attention(
+                q_proj, q_xyz, k_all, v_all, pts_abs, att,
+                decoder.cross_attn_neighbors, key_mask=abstract_mask,
+                compute_dtype=compute_dtype)
+            y = _dense(y, blk['layer3'])
+            x = x + y
+    penult = x
+    return _dense(act(x), bb['lin_out']), penult

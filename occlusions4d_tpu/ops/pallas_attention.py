@@ -1,0 +1,210 @@
+'''
+Fused kNN vector cross-attention Pallas kernel (the decoder's hot op).
+
+XLA executes one VectorAttention block over 32768 queries x 531 abstract keys in
+~29 ms: the (N, K, D) neighbor tensors (k, v, positional encodings, the 2D-wide
+gamma hidden layer) round-trip through HBM between every op, and the kNN top_k is
+its own pass. This kernel runs the whole block per query tile without leaving VMEM:
+
+  1. distance tile (T, M) via one MXU matmul, exact top-K extraction on-core
+     (same algorithm as ops/pallas_knn.py);
+  2. neighbor gather expressed as a one-hot (T*K, M) matmul against the fused
+     [k_all | v_all | pos2] value matrix - MXU work instead of HBM gathers;
+  3. theta (pos) and gamma (attn) MLPs as (T*K, *) matmuls;
+  4. per-channel softmax over the K axis and the weighted (v + theta) reduction.
+
+Semantics match models.layers.VectorAttention exactly (same formulas, same
+neighbor ordering); parity is asserted by tests/test_pallas_ops.py. Restricted to
+cross-attention with a key set small enough to hold projected in VMEM
+(M <= ~4096 - the decoder's abstract clouds; the encoder's self-attention over
+14336 keys keeps the XLA path).
+
+The matmul dtype is selectable: f32 (default, 3-pass MXU, bitwise-close to the
+XLA path) or bf16 (single-pass, ~3x faster, ~1e-2 relative error - the same
+trade the reference makes with fp16 autocast, /root/reference/train.py:81).
+'''
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['fused_knn_vector_attention']
+
+_LANES = 128
+_BIG_I = 2 ** 30
+
+
+def _mm(a, b, cd):
+    # Mosaic's default f32 dot executes as a single bf16 MXU pass; request the
+    # 3-pass decomposition when true f32 fidelity is asked for.
+    prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(a.astype(cd), b.astype(cd),
+                               dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+
+
+def _attn_kernel(qpos_ref, qproj_ref, kpos_ref, kvp_ref, kn_ref,
+                 wp1_ref, bp1_ref, wp2_ref, bp2_ref,
+                 wa1_ref, ba1_ref, wa2_ref, ba2_ref, out_ref,
+                 *, k, dim, compute_dtype):
+    '''
+    Block shapes (leading 1 from the (B, tiles) grid):
+      qpos (1, T, 3) f32; qproj (1, T, D); kpos (1, M, 3) f32;
+      kvp (1, M, 2D+3): [k_all | v_all | pos2]; kn (1, 1, M) f32 (+inf masked);
+      weight/bias refs for theta (wp1 (3,P), bp1 (1,P), wp2 (P,D), bp2 (1,D))
+      and gamma (wa1 (D,H), ba1 (1,H), wa2 (H,D), ba2 (1,D));
+      out (1, T, D).
+
+    The j-th nearest neighbor is extracted, one-hot-gathered, and pushed through
+    theta/gamma in one pass per j (K static passes). This avoids any (T*k, ...)
+    reshape across the lane dimension, which Mosaic cannot lower.
+    '''
+    (_, T, _) = qpos_ref.shape
+    (_, M, _) = kpos_ref.shape
+    cd = compute_dtype
+    qpos = qpos_ref[0]                                             # (T, 3) f32.
+    qproj = qproj_ref[0]                                           # (T, D).
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
+    inv_sqrt_d = 1.0 / jnp.sqrt(jnp.float32(dim))
+
+    # Exact kNN ranking in f32 (one MXU matmul).
+    prod = jax.lax.dot_general(
+        qpos, kpos_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                       # (T, M).
+    d = kn_ref[0] - 2.0 * prod
+
+    # Online softmax over the K candidates (three running (T, D) buffers instead
+    # of 2K stored per-neighbor tensors, which would exceed VMEM at T=128).
+    run_mx = jnp.full((T, dim), -jnp.inf, jnp.float32)
+    run_den = jnp.zeros((T, dim), jnp.float32)
+    run_acc = jnp.zeros((T, dim), jnp.float32)
+    for _j in range(k):
+        m = jnp.min(d, axis=1, keepdims=True)
+        idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1,
+                      keepdims=True)                               # (T, 1).
+        d = jnp.where(col == idx, jnp.inf, d)
+        onehot = (col == idx)                                      # (T, M).
+        g = _mm(onehot, kvp_ref[0], cd)                            # (T, 2D+3).
+        k_j = g[:, :dim]
+        v_j = g[:, dim:2 * dim]
+        p_j = g[:, 2 * dim:2 * dim + 3]
+
+        pe = _mm(qpos - p_j, wp1_ref[:], cd) + bp1_ref[:]
+        pe = _mm(jnp.maximum(pe, 0.0), wp2_ref[:], cd) + bp2_ref[:]  # (T, D).
+
+        h = _mm(qproj - k_j + pe, wa1_ref[:], cd) + ba1_ref[:]
+        lg = (_mm(jnp.maximum(h, 0.0), wa2_ref[:], cd) + ba2_ref[:]) * inv_sqrt_d
+
+        new_mx = jnp.maximum(run_mx, lg)
+        scale = jnp.exp(run_mx - new_mx)
+        e = jnp.exp(lg - new_mx)
+        run_den = run_den * scale + e
+        run_acc = run_acc * scale + e * (v_j + pe)
+        run_mx = new_mx
+
+    out_ref[0] = run_acc / run_den                                 # (T, D).
+
+
+@functools.partial(jax.jit, static_argnames=('k', 'dim', 'tile_n', 'compute_dtype',
+                                              'interpret'))
+def _attn_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2,
+               k, dim, tile_n, compute_dtype, interpret):
+    (B, N_pad, _) = qpos.shape
+    (_, M_pad, _) = kpos.shape
+    kern = functools.partial(_attn_kernel, k=k, dim=dim,
+                             compute_dtype=compute_dtype)
+    grid = (B, N_pad // tile_n)
+
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_pad, 2 * dim + 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec(wp1.shape), w_spec(bp1.shape), w_spec(wp2.shape),
+            w_spec(bp2.shape), w_spec(wa1.shape), w_spec(ba1.shape),
+            w_spec(wa2.shape), w_spec(ba2.shape),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N_pad, dim), jnp.float32),
+        # The constant key/weight blocks are double-buffered by the pipeline and
+        # push past the default 16 MB scoped-vmem budget at tile_n=128.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2)
+    return out
+
+
+def fused_knn_vector_attention(q_proj, q_pos, k_all, v_all, pos2, params, k,
+                               *, key_mask=None, tile_n=128,
+                               compute_dtype=jnp.float32):
+    '''
+    One fused vector cross-attention block.
+    :param q_proj (B, N, D): projected query features (to_q applied).
+    :param q_pos (B, N, 3): query coordinates.
+    :param k_all / v_all (B, M, D): projected key/value features.
+    :param pos2 (B, M, 3): key coordinates.
+    :param params: dict with pos_mlp_0/pos_mlp_2/attn_mlp_0/attn_mlp_2, each
+        {'kernel', 'bias'} (flax layout).
+    :param k (int): neighbors, k <= 32.
+    :param key_mask (B, M) bool or None.
+    :param compute_dtype: jnp.float32 (parity) or jnp.bfloat16 (fast).
+    :return (B, N, D) float32.
+    '''
+    assert k <= 32
+    (B, N, dim) = q_proj.shape
+    (_, M, _) = k_all.shape
+    tile_n = min(tile_n, max(_LANES, 1 << (N - 1).bit_length()))
+    N_pad = -(-N // tile_n) * tile_n
+    M_pad = -(-M // _LANES) * _LANES
+
+    pad_q = ((0, 0), (0, N_pad - N), (0, 0))
+    pad_k = ((0, 0), (0, M_pad - M), (0, 0))
+    q_pos_p = jnp.pad(q_pos.astype(jnp.float32), pad_q)
+    q_proj_p = jnp.pad(q_proj.astype(jnp.float32), pad_q)
+    kpos_p = jnp.pad(pos2.astype(jnp.float32), pad_k)
+    kvp = jnp.concatenate([k_all.astype(jnp.float32), v_all.astype(jnp.float32),
+                           pos2.astype(jnp.float32)], axis=-1)
+    kvp = jnp.pad(kvp, ((0, 0), (0, M_pad - M), (0, 0)))
+    kn = jnp.sum(jnp.square(kpos_p), axis=-1)                       # (B, M_pad).
+    in_play = jnp.arange(M_pad) < M
+    if key_mask is not None:
+        in_play = in_play[None] & jnp.pad(jnp.asarray(key_mask),
+                                          ((0, 0), (0, M_pad - M)))
+    kn = jnp.where(in_play, kn, jnp.inf)[:, None, :]
+
+    def wb(name):
+        p = params[name]
+        w = jnp.asarray(p['kernel'], jnp.float32)
+        b = jnp.asarray(p['bias'], jnp.float32)[None, :]
+        return w, b
+
+    wp1, bp1 = wb('pos_mlp_0')
+    wp2, bp2 = wb('pos_mlp_2')
+    wa1, ba1 = wb('attn_mlp_0')
+    wa2, ba2 = wb('attn_mlp_2')
+
+    interpret = jax.default_backend() != 'tpu'
+    out = _attn_call(q_pos_p, q_proj_p, kpos_p, kvp, kn, wp1, bp1, wp2, bp2,
+                     wa1, ba1, wa2, ba2, int(k), int(dim), int(tile_n),
+                     compute_dtype, interpret)
+    return out[:, :N]

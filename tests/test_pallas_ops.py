@@ -56,3 +56,56 @@ def test_fps_pallas_non_multiple_of_128(rng):
     a = fps_pallas_batched(xyz, 137)
     b = fps_batched(xyz, 137, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_attention_matches_module(rng):
+    import jax
+    import jax.numpy as jnp
+    from occlusions4d_tpu.models.layers import VectorAttention
+    from occlusions4d_tpu.ops.pallas_attention import fused_knn_vector_attention
+
+    N, M, D, D2, K = 200, 90, 64, 48, 8
+    x = jnp.asarray(rng.rand(1, N, D).astype(np.float32))
+    pos = jnp.asarray(rng.rand(1, N, 3).astype(np.float32) * 2 - 1)
+    x2 = jnp.asarray(rng.rand(1, M, D2).astype(np.float32))
+    pos2 = jnp.asarray(rng.rand(1, M, 3).astype(np.float32) * 2 - 1)
+    mod = VectorAttention(dim=D, num_neighbors=K, dim2=D2)
+    variables = mod.init(jax.random.PRNGKey(0), x, pos, x2=x2, pos2=pos2)
+    p = variables['params']
+    args = (x @ p['to_q']['kernel'], pos, x2 @ p['to_k']['kernel'],
+            x2 @ p['to_v']['kernel'], pos2, p, K)
+
+    ref = np.asarray(mod.apply(variables, x, pos, x2=x2, pos2=pos2))
+    out = np.asarray(fused_knn_vector_attention(*args))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+    mask = jnp.asarray(rng.rand(1, M) > 0.4)
+    ref_m = np.asarray(mod.apply(variables, x, pos, x2=x2, pos2=pos2,
+                                 key_mask=mask))
+    out_m = np.asarray(fused_knn_vector_attention(*args, key_mask=mask))
+    np.testing.assert_allclose(out_m, ref_m, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_field_matches_module(rng):
+    import jax
+    import jax.numpy as jnp
+    from occlusions4d_tpu.models.implicit import LocalImplicitField
+    from occlusions4d_tpu.models.fused import fused_field_apply, supports_fused
+
+    N, M, E, Dg = 150, 80, 32, 16
+    q = jnp.asarray(rng.rand(1, N, 4).astype(np.float32) * 2 - 1)
+    abstract = jnp.asarray(rng.rand(1, M, 3 + E).astype(np.float32))
+    fg = jnp.asarray(rng.rand(1, Dg).astype(np.float32))
+    dec = LocalImplicitField(d_in=4, d_hidden=48, d_out=6, d_latent=48,
+                             n_blocks=4, pos_encoding_freqs=8,
+                             num_local_features=4, local_mode='attention',
+                             d_latent_local=E, cross_attn_neighbors=6,
+                             cross_attn_layers=2, cr_attn_type='cc')
+    assert supports_fused(dec)
+    variables = dec.init(jax.random.PRNGKey(1), q[:, :16], abstract, fg)
+    ref, ref_pen = dec.apply(variables, q, abstract, fg)
+    out, out_pen = fused_field_apply(dec, variables, q, abstract, fg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_pen), np.asarray(ref_pen),
+                               atol=3e-5, rtol=1e-4)
