@@ -56,7 +56,8 @@ def _knn_kernel(q_ref, k_ref, kn_ref, out_d_ref, out_i_ref, accd_ref, acci_ref,
                 *, k, block_k, num_blocks):
     '''
     :param q_ref (1, T, 3) VMEM f32: query tile.
-    :param k_ref (1, M_pad, 3) VMEM f32: all keys (padded).
+    :param k_ref (1, 3, M_pad) VMEM f32: all keys, channel-major (a (M, 3) layout
+        would pad the 3-wide lane dim to 128 and explode VMEM 42x at large M).
     :param kn_ref (1, 1, M_pad) VMEM f32: |key|^2 with +inf at masked/padded keys.
     :param out_d_ref (1, T, K_pad) VMEM f32: squared distances, ascending (first k
         columns valid; |q|^2 not yet added - caller finishes the distance).
@@ -71,10 +72,10 @@ def _knn_kernel(q_ref, k_ref, kn_ref, out_d_ref, out_i_ref, accd_ref, acci_ref,
 
     def body(b, _):
         off = b * block_k
-        kblk = k_ref[0, pl.ds(off, block_k), :]                    # (BK, 3).
+        kblk = k_ref[0, :, pl.ds(off, block_k)]                    # (3, BK).
         kn = kn_ref[0, :, pl.ds(off, block_k)]                     # (1, BK).
         prod = jax.lax.dot_general(
-            q, kblk, dimension_numbers=(((1,), (1,)), ((), ())),
+            q, kblk, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)                   # (T, BK).
         d = kn - 2.0 * prod                                        # (T, BK).
@@ -99,7 +100,7 @@ def _knn_kernel(q_ref, k_ref, kn_ref, out_d_ref, out_i_ref, accd_ref, acci_ref,
                    static_argnames=('k', 'tile_n', 'block_k', 'interpret'))
 def _knn_pallas_call(q, keys, kn, k, tile_n, block_k, interpret):
     (B, N_pad, _) = q.shape
-    (_, M_pad, _) = keys.shape
+    (_, _, M_pad) = keys.shape  # keys are channel-major (B, 3, M_pad).
     K_pad = _LANES  # one lane row per query; only the first k columns are real.
     num_blocks = M_pad // block_k
     kern = functools.partial(_knn_kernel, k=k, block_k=block_k,
@@ -111,7 +112,7 @@ def _knn_pallas_call(q, keys, kn, k, tile_n, block_k, interpret):
         in_specs=[
             pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, 3, M_pad), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -154,7 +155,8 @@ def knn_pallas(query, keys, k, *, key_mask=None, tile_n=256, block_k=4096,
 
     q_p = jnp.pad(query, ((0, 0), (0, N_pad - N), (0, 0)))
     k_p = jnp.pad(keys, ((0, 0), (0, M_pad - M), (0, 0)))
-    kn = jnp.sum(jnp.square(k_p), axis=-1)                          # (B, M_pad).
+    k_p = jnp.transpose(k_p, (0, 2, 1))                             # (B, 3, M_pad).
+    kn = jnp.sum(jnp.square(k_p), axis=1)                           # (B, M_pad).
     in_play = jnp.arange(M_pad) < M
     if key_mask is not None:
         in_play = in_play[None] & jnp.pad(jnp.asarray(key_mask),

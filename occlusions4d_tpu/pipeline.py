@@ -65,11 +65,18 @@ class TrainPipeline:
     '''Pure-function training forward. Construct once; call .loss / .forward in jit.'''
 
     def __init__(self, encoder, decoder, sampler_cfg: SamplerConfig,
-                 cfg: PipelineConfig):
+                 cfg: PipelineConfig, remat=True):
         self.encoder = encoder
         self.decoder = decoder
         self.sampler = GuidedPointSampler(sampler_cfg)
         self.cfg = cfg
+        # Rematerialize each frame's field evaluation in the backward pass: the
+        # decoder's (N, K, D) attention intermediates across past_frames frames
+        # are the peak-memory driver (a gv1 step otherwise needs ~23 GB, past
+        # the 16 GB v5e HBM; the reference needed 48 GB across 3 GPUs for the
+        # same reason, /root/reference/README.md:46).
+        dec_fwd = lambda p, q, a, g: self.decoder.apply(p, q, a, g)[0]
+        self._decode_frame = jax.checkpoint(dec_fwd) if remat else dec_fwd
 
     def forward(self, params, batch, rng, return_intermediate=False):
         '''
@@ -126,8 +133,8 @@ class TrainPipeline:
             implicit_target = jnp.concatenate(
                 [sample['solid_target'], sample['air_target']], axis=1)  # (B, S+A, 6).
 
-            out, _ = self.decoder.apply(params['decoder'], points_query, abstract,
-                                        feats_global)
+            out = self._decode_frame(params['decoder'], points_query, abstract,
+                                     feats_global)
             out = squash_colors(out, cfg.color_mode)
 
             outputs.append(out)
