@@ -161,8 +161,9 @@ def _add_fields(parser, cls):
     for f in dataclasses.fields(cls):
         if f.name in ('tag', 'test_tag', 'train_tag'):
             continue
-        typ = f.type if not isinstance(f.type, str) else eval(f.type)  # noqa: S307
-        if typ is bool or f.default in (True, False):
+        # isinstance, not `in (True, False)`: 0.0 == False would turn float flags
+        # with 0/1 defaults (color_lw, start_epoch, ...) into booleans.
+        if isinstance(f.default, bool):
             parser.add_argument(f'--{f.name}', default=f.default, type=str2bool)
         else:
             parser.add_argument(f'--{f.name}', default=f.default, type=type(f.default))

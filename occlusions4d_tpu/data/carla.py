@@ -144,7 +144,7 @@ class CarlaDataset:
             self.all_scenes = scenes
             self.num_scenes = len(scenes)
             if use_data_frac < 0.0:
-                self.num_scenes = int(-use_data_frac)
+                self.num_scenes = min(int(-use_data_frac), len(self.all_scenes))
                 self.all_scenes = self.all_scenes[:self.num_scenes]
                 self.use_data_frac = 1.0
                 self.allow_random_frames = False
@@ -184,7 +184,8 @@ class CarlaDataset:
 
         scene_idx = index % self.num_scenes
         frame_low, frame_high = 10, num_frames - 20
-        frame_start_high = frame_high - self.video_length * self.frame_skip
+        frame_start_high = max(frame_high - self.video_length * self.frame_skip,
+                               frame_low + 1)
         frame_start = self.rng.randint(frame_low, frame_start_high)
 
         if self.starting_frames is not None:
@@ -213,7 +214,7 @@ class CarlaDataset:
                 if not is_moving_anytime(sensor_RT, frame_start, end):
                     return None, num_frames, -1, -1.0
         elif not self.allow_random_frames:
-            frame_start = num_frames // 2
+            frame_start = min(num_frames // 2, frame_start_high - 1)
         return frame_start, num_frames, occl_frame_idx, found_rate
 
     def __getitem__(self, index):

@@ -147,7 +147,7 @@ class GreaterDataset:
             self.all_scenes = scenes
             self.num_scenes = len(scenes)
             if use_data_frac < 0.0:
-                self.num_scenes = int(-use_data_frac)
+                self.num_scenes = min(int(-use_data_frac), len(self.all_scenes))
                 self.all_scenes = self.all_scenes[:self.num_scenes]
                 self.use_data_frac = 1.0
                 self.allow_random_frames = False
@@ -187,7 +187,7 @@ class GreaterDataset:
             return index * self.ss_frame_step, src_view, num_frames, -1, -1.0
 
         scene_idx = index // self.multiplier
-        frame_start_high = num_frames - self.video_length * self.frame_skip
+        frame_start_high = max(num_frames - self.video_length * self.frame_skip, 1)
         frame_start = self.rng.randint(0, frame_start_high)
 
         if self.starting_frames is not None:
@@ -206,7 +206,7 @@ class GreaterDataset:
                 if start is not None:
                     frame_start = start
         elif not self.allow_random_frames:
-            frame_start = num_frames // 2
+            frame_start = min(num_frames // 2, frame_start_high - 1)
         return frame_start, src_view, num_frames, occl_frame_idx, found_occl_rate
 
     def __getitem__(self, index):

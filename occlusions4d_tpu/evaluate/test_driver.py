@@ -98,9 +98,10 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
 
 def main(args: TestConfig, logger=None):
     '''CLI entry: mirrors /root/reference/eval/test.py:138-215.'''
+    # Logger roots at the run's log dir; artifacts go to its test_<tag> subfolder
+    # via run_test's folder= argument (mirrors logs/<tag>/test_* of the reference).
     logger = logger or StepLogger(
-        log_dir=os.path.join(args.log_path, 'test_' + args.test_tag)
-        if args.log_path not in ('', 'auto') else None,
+        log_dir=args.log_path if args.log_path not in ('', 'auto') else None,
         context='test')
     logger.info(f'Args: {args}')
     np.random.seed(args.seed)
