@@ -168,8 +168,10 @@ def make_carla_scene(scene_dp, num_frames=60, points_per_frame=3000, seed=0,
     num_sensors = 9
     T = num_frames
     sensor_RT = np.tile(np.eye(4, dtype=np.float32)[None, None], (T, num_sensors, 1, 1))
-    # Ego moves forward along +x; sensors offset per view.
-    offsets = rng.randn(num_sensors, 3).astype(np.float32) * 2.0
+    # Ego moves forward along +x; sensors offset per view. Offsets stay small so
+    # the scene remains inside the cube_mode input/output cuboids (z in
+    # [min_z, 0.5 * bounds], y in [-bounds, bounds]) for every random seed.
+    offsets = rng.randn(num_sensors, 3).astype(np.float32) * 0.3
     for t in range(T):
         for s in range(num_sensors):
             sensor_RT[t, s, :3, 3] = np.array([t * 0.5, 0, 0], np.float32) + offsets[s]
@@ -185,9 +187,9 @@ def make_carla_scene(scene_dp, num_frames=60, points_per_frame=3000, seed=0,
             n = points_per_frame
             world = np.zeros((n, 9), np.float32)
             # Ground + walls box in world coords ahead of ego.
-            wx = rng.rand(n) * 40.0 + f * 0.5
-            wy = rng.rand(n) * 30.0 - 15.0
-            wz = np.abs(rng.randn(n)) * 1.5
+            wx = rng.rand(n) * 16.0 - 3.0 + f * 0.5
+            wy = rng.rand(n) * 12.0 - 6.0
+            wz = rng.rand(n) * 1.3
             sem = rng.randint(0, 13, n)
             inst = rng.randint(0, 12, n)
             # Mark a slab of points as vehicles (tag 10) / pedestrians (4).
