@@ -8,8 +8,10 @@ only needs to stay ahead of one step; device transfer happens in the train loop 
 parallel.shard_batch).
 '''
 
+import collections
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -33,16 +35,25 @@ def collate(examples):
 
 
 class Loader:
-    '''Epoch-based iterable with shuffling, drop_last, and thread prefetch.'''
+    '''Epoch-based iterable with shuffling, drop_last, and prefetch.
+
+    num_workers > 1 decodes examples through a thread pool (the torch
+    DataLoader-worker-process replacement: the hot host ops - C++ FPS/kNN via
+    ctypes, numpy image decode - release the GIL, so threads scale and shared
+    state like the occlusion-bias counter needs no multiprocessing.Array).
+    Batches are always yielded in deterministic index order regardless of worker
+    completion order.
+    '''
 
     def __init__(self, dataset, batch_size, shuffle=True, drop_last=True,
-                 prefetch=2, seed=0):
+                 prefetch=2, seed=0, num_workers=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.seed = seed
+        self.num_workers = num_workers
 
     @property
     def steps_per_epoch(self):
@@ -57,15 +68,51 @@ class Loader:
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def batches():
+            for s in range(steps):
+                idxs = order[s * self.batch_size:(s + 1) * self.batch_size]
+                if len(idxs) < self.batch_size and self.drop_last:
+                    return
+                yield idxs
+
+        def producer_serial():
+            for idxs in batches():
+                if stop.is_set():
+                    return
+                q.put(collate([self.dataset[int(i)] for i in idxs]))
+
+        def producer_pool():
+            window = self.num_workers + self.prefetch * self.batch_size
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                pending = collections.deque()   # (batch_futures) in order.
+                batch_iter = iter(batches())
+                inflight = 0
+
+                def refill():
+                    nonlocal inflight
+                    while inflight < window:
+                        idxs = next(batch_iter, None)
+                        if idxs is None:
+                            return False
+                        futs = [pool.submit(self.dataset.__getitem__, int(i))
+                                for i in idxs]
+                        pending.append(futs)
+                        inflight += len(futs)
+                    return True
+
+                refill()
+                while pending and not stop.is_set():
+                    futs = pending.popleft()
+                    q.put(collate([f.result() for f in futs]))
+                    inflight -= len(futs)
+                    refill()
+
         def producer():
             try:
-                for s in range(steps):
-                    if stop.is_set():
-                        return
-                    idxs = order[s * self.batch_size:(s + 1) * self.batch_size]
-                    if len(idxs) < self.batch_size and self.drop_last:
-                        break
-                    q.put(collate([self.dataset[int(i)] for i in idxs]))
+                if self.num_workers > 1:
+                    producer_pool()
+                else:
+                    producer_serial()
             except Exception as e:  # surface loader errors to the consumer.
                 q.put(e)
             finally:
@@ -121,9 +168,9 @@ def create_train_val_loaders(cfg, logger):
     train_dset = cls(cfg.data_path, logger, stage='train', seed=cfg.seed, **dset_args)
     val_dset = cls(cfg.data_path, logger, stage='val', seed=cfg.seed + 1, **dset_args)
     train_loader = Loader(train_dset, cfg.batch_size, shuffle=True, drop_last=True,
-                          seed=cfg.seed)
+                          seed=cfg.seed, num_workers=cfg.num_workers)
     val_loader = Loader(val_dset, cfg.batch_size, shuffle=True, drop_last=True,
-                        seed=cfg.seed + 1)
+                        seed=cfg.seed + 1, num_workers=cfg.num_workers)
     return data_kind, train_loader, val_loader, dset_args
 
 
@@ -151,5 +198,6 @@ def create_test_loader(cfg, dset_args, logger):
             dset_args['track_mode'] = 'none'  # 'all' is handled by inference reruns.
         dset = GreaterDataset(cfg.data_path, logger, stage='test', seed=cfg.seed,
                               **dset_args)
-    loader = Loader(dset, 1, shuffle=False, drop_last=False, seed=cfg.seed)
+    loader = Loader(dset, 1, shuffle=False, drop_last=False, seed=cfg.seed,
+                    num_workers=cfg.num_workers)
     return data_kind, loader

@@ -167,3 +167,27 @@ def test_factory_selects_by_path(greater_root, carla_root):
     assert dargs2['reference_frame'] == 3
     batch2 = next(iter(tr2.epoch(0)))
     assert batch2['pcl_target'].shape[-1] == 11
+
+
+def test_loader_thread_pool_matches_serial(tmp_path):
+    '''Pooled decoding yields identical batch order/content to the serial path
+    for a deterministic dataset.'''
+    from occlusions4d_tpu.data.loader import Loader
+
+    class Dset:
+        def __len__(self):
+            return 13
+
+        def __getitem__(self, i):
+            return dict(pcl_input=np.full((4, 8), float(i), np.float32),
+                        meta_data=dict(idx=i))
+
+    a = Loader(Dset(), 3, shuffle=True, drop_last=True, seed=5, num_workers=1)
+    b = Loader(Dset(), 3, shuffle=True, drop_last=True, seed=5, num_workers=4)
+    batches_a = list(a.epoch(2))
+    batches_b = list(b.epoch(2))
+    assert len(batches_a) == len(batches_b) == 4
+    for ba, bb in zip(batches_a, batches_b):
+        np.testing.assert_array_equal(ba['pcl_input'], bb['pcl_input'])
+        assert [m['idx'] for m in ba['meta_data']] == \
+            [m['idx'] for m in bb['meta_data']]
