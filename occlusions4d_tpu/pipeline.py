@@ -97,9 +97,19 @@ class TrainPipeline:
         assert T_data == T, (T_data, T)
 
         rng, k_fps = jax.random.split(rng)
-        abstract, feats_global, layer_coords = self.encoder.apply(
-            params['encoder'], pcl_input, return_intermediate,
-            rngs={'fps': k_fps})
+        bn_updates = None
+        if 'batch_stats' in params['encoder']:
+            # pt_norm_type='batch': run in train mode and surface the updated
+            # running statistics (merged into the state by the train step; they
+            # carry no gradient and are masked out of the optimizer).
+            (abstract, feats_global, layer_coords), mut = self.encoder.apply(
+                params['encoder'], pcl_input, return_intermediate, True,
+                rngs={'fps': k_fps}, mutable=['batch_stats'])
+            bn_updates = mut['batch_stats']
+        else:
+            abstract, feats_global, layer_coords = self.encoder.apply(
+                params['encoder'], pcl_input, return_intermediate,
+                rngs={'fps': k_fps})
 
         outputs, targets, queries = [], [], []
         solid_sbs, air_sbs, oks = [], [], []
@@ -156,6 +166,7 @@ class TrainPipeline:
             air_sbs=jnp.stack(air_sbs, 1).mean(axis=(0, 1)),
             sample_ok=jnp.stack(oks, 1).all(),
             layer_coords=layer_coords,
+            batch_stats=bn_updates,
         )
         return losses, aux
 

@@ -42,8 +42,22 @@ from .utils.logvis import StepLogger
 __all__ = ['build_optimizer', 'make_train_step', 'Trainer', 'main']
 
 
+def _trainable_mask(params):
+    '''False at batch-norm running statistics (not optimizer targets).'''
+
+    def walk(node, under_stats):
+        if isinstance(node, dict):
+            return {k: walk(v, under_stats or k == 'batch_stats')
+                    for k, v in node.items()}
+        return not under_stats
+
+    return walk(params, False)
+
+
 def build_optimizer(cfg: TrainConfig, steps_per_epoch):
-    '''AdamW + multistep schedule + global-norm clip (train.py:107-122, 313-319).'''
+    '''AdamW + multistep schedule + global-norm clip (train.py:107-122, 313-319).
+    Batch-norm running statistics are masked out (zero-gradient, but AdamW's
+    weight decay would otherwise erode them).'''
     milestones = [(cfg.num_epochs * 2) // 5, (cfg.num_epochs * 3) // 5,
                   (cfg.num_epochs * 4) // 5]
     boundaries = {m * steps_per_epoch: cfg.lr_decay for m in milestones if m > 0}
@@ -52,7 +66,9 @@ def build_optimizer(cfg: TrainConfig, steps_per_epoch):
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.gradient_clip) if cfg.gradient_clip > 0
         else optax.identity(),
-        optax.adamw(schedule, b1=0.9, b2=0.999, eps=eps, weight_decay=1e-2),
+        optax.masked(
+            optax.adamw(schedule, b1=0.9, b2=0.999, eps=eps, weight_decay=1e-2),
+            _trainable_mask),
     )
     return tx, schedule
 
@@ -72,6 +88,11 @@ def make_train_step(pipeline: TrainPipeline, tx):
 
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        # Merge batch-norm running statistics updated by the forward pass.
+        if aux.get('batch_stats') is not None:
+            new_params = dict(new_params)
+            new_params['encoder'] = dict(new_params['encoder'],
+                                         batch_stats=aux['batch_stats'])
         # Skip the update on non-finite gradients (train.py:112-114 logs; we skip).
         new_params, new_opt_state = jax.tree_util.tree_map(
             lambda new, old: jnp.where(grads_finite, new, old),

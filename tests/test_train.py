@@ -139,3 +139,47 @@ def test_optimizer_schedule_milestones():
     np.testing.assert_allclose(float(schedule(801)), 4e-4, rtol=1e-5)
     np.testing.assert_allclose(float(schedule(1201)), 1.6e-4, rtol=1e-5)
     np.testing.assert_allclose(float(schedule(1601)), 6.4e-5, rtol=1e-5)
+
+
+def test_batchnorm_stats_update_and_survive_decay():
+    '''pt_norm_type=batch: running statistics update each step and are not
+    weight-decayed by AdamW (they are masked out of the optimizer).'''
+    import jax
+    from occlusions4d_tpu.parallel import make_mesh, shard_batch
+
+    cfg = TrainConfig(
+        batch_size=2, n_points=256, n_data_rnd=256, video_len=4, frame_skip=1,
+        past_frames=2, pt_cube_bounds=5.0, cr_cube_bounds=5.0, pt_feat_dim=4,
+        up_down_blocks=1, transition_factor=4, pt_num_neighbors=4,
+        down_neighbors=4, global_size=8, num_cr_local_feats=4,
+        implicit_mlp_blocks=2, cross_attn_layers=1, cross_attn_neighbors=4,
+        cr_attn_type='c', num_cr_solid=32, air_sampling_ratio=1.0,
+        color_mode='rgb_nosigmoid', color_lw=1.0, num_epochs=2, seed=0,
+        pt_norm_type='batch', data_parallel=1, output_path='')
+    verify_args(cfg, is_train=True)
+    rng = np.random.RandomState(0)
+    B, N, T, M = 2, cfg.n_points, cfg.past_frames, 512
+    tgt = np.zeros((B, T, M, 9), np.float32)
+    tgt[..., :3] = rng.rand(B, T, M, 3) * 6.0 - 3.0
+    tgt[..., 2] = np.abs(tgt[..., 2])
+    tgt[..., 5:8] = rng.rand(B, T, M, 3)
+    batch = dict(
+        pcl_input=(rng.rand(B, N, 8) * 2 - 1).astype(np.float32),
+        pcl_target=tgt, pcl_target_valid=np.ones((B, T, M), bool),
+        valo_ids=np.zeros((B, 32), np.int32),
+        num_valo_ids=np.zeros((B,), np.int32))
+    mesh = make_mesh(1)
+    trainer = Trainer(cfg, 'greater', mesh=mesh)
+    trainer.init_state(batch, steps_per_epoch=4)
+    assert 'batch_stats' in trainer.state['params']['encoder']
+    stats0 = jax.tree_util.tree_map(
+        np.asarray, trainer.state['params']['encoder']['batch_stats'])
+    sharded = shard_batch(batch, mesh)
+    state, _ = trainer._train_step(trainer.state, sharded, jax.random.PRNGKey(0))
+    state, _ = trainer._train_step(state, sharded, jax.random.PRNGKey(1))
+    stats1 = jax.tree_util.tree_map(
+        np.asarray, state['params']['encoder']['batch_stats'])
+    leaves0 = jax.tree_util.tree_leaves(stats0)
+    leaves1 = jax.tree_util.tree_leaves(stats1)
+    # Running mean moved away from init (stats are being updated, not decayed).
+    assert any(np.abs(a - b).max() > 1e-6 for a, b in zip(leaves0, leaves1))
