@@ -51,7 +51,7 @@ def _mm(a, b, cd):
 def _attn_kernel(qpos_ref, qproj_ref, kpos_ref, kvp_ref, kn_ref,
                  wp1_ref, bp1_ref, wp2_ref, bp2_ref,
                  wa1_ref, ba1_ref, wa2_ref, ba2_ref, out_ref,
-                 *, k, dim, compute_dtype):
+                 *, k, dim, group, compute_dtype):
     '''
     Block shapes (leading 1 from the (B, tiles) grid):
       qpos (1, T, 3) f32; qproj (1, T, D); kpos (1, M, 3) f32;
@@ -60,9 +60,12 @@ def _attn_kernel(qpos_ref, qproj_ref, kpos_ref, kvp_ref, kn_ref,
       and gamma (wa1 (D,H), ba1 (1,H), wa2 (H,D), ba2 (1,D));
       out (1, T, D).
 
-    The j-th nearest neighbor is extracted, one-hot-gathered, and pushed through
-    theta/gamma in one pass per j (K static passes). This avoids any (T*k, ...)
-    reshape across the lane dimension, which Mosaic cannot lower.
+    Neighbors are extracted one at a time (serial argmin over the running
+    distance row), but the gather + theta/gamma matmuls are batched over
+    `group` neighbors at once by stacking their one-hot rows along the sublane
+    axis ((G*T, M) @ (M, 2D+3) etc.) - fewer, larger MXU ops for the same
+    FLOPs. Stacking is along axis 0, never across the lane dimension (a (T*k,
+    ...) lane reshape is what Mosaic cannot lower).
     '''
     (_, T, _) = qpos_ref.shape
     (_, M, _) = kpos_ref.shape
@@ -79,45 +82,63 @@ def _attn_kernel(qpos_ref, qproj_ref, kpos_ref, kvp_ref, kn_ref,
         precision=jax.lax.Precision.HIGHEST)                       # (T, M).
     d = kn_ref[0] - 2.0 * prod
 
+    group = max(1, min(group, k))
+    if group > 1:
+        qpos_g = jnp.concatenate([qpos] * group, axis=0)           # (G*T, 3).
+        qproj_g = jnp.concatenate([qproj] * group, axis=0)         # (G*T, D).
+    else:
+        qpos_g, qproj_g = qpos, qproj
+
     # Online softmax over the K candidates (three running (T, D) buffers instead
     # of 2K stored per-neighbor tensors, which would exceed VMEM at T=128).
     run_mx = jnp.full((T, dim), -jnp.inf, jnp.float32)
     run_den = jnp.zeros((T, dim), jnp.float32)
     run_acc = jnp.zeros((T, dim), jnp.float32)
-    for _j in range(k):
-        m = jnp.min(d, axis=1, keepdims=True)
-        idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1,
-                      keepdims=True)                               # (T, 1).
-        d = jnp.where(col == idx, jnp.inf, d)
-        onehot = (col == idx)                                      # (T, M).
-        g = _mm(onehot, kvp_ref[0], cd)                            # (T, 2D+3).
-        k_j = g[:, :dim]
-        v_j = g[:, dim:2 * dim]
-        p_j = g[:, 2 * dim:2 * dim + 3]
+    for j0 in range(0, k, group):
+        g_sz = min(group, k - j0)
+        onehots = []
+        for _j in range(g_sz):
+            m = jnp.min(d, axis=1, keepdims=True)
+            idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1,
+                          keepdims=True)                           # (T, 1).
+            d = jnp.where(col == idx, jnp.inf, d)
+            onehots.append(col == idx)
+        onehot = (onehots[0] if g_sz == 1
+                  else jnp.concatenate(onehots, axis=0))           # (G*T, M).
+        g = _mm(onehot, kvp_ref[0], cd)                            # (G*T, 2D+3).
+        k_g = g[:, :dim]
+        v_g = g[:, dim:2 * dim]
+        p_g = g[:, 2 * dim:2 * dim + 3]
+        qp = qpos_g[:g_sz * T]
+        qj = qproj_g[:g_sz * T]
 
-        pe = _mm(qpos - p_j, wp1_ref[:], cd) + bp1_ref[:]
-        pe = _mm(jnp.maximum(pe, 0.0), wp2_ref[:], cd) + bp2_ref[:]  # (T, D).
+        pe = _mm(qp - p_g, wp1_ref[:], cd) + bp1_ref[:]
+        pe = _mm(jnp.maximum(pe, 0.0), wp2_ref[:], cd) + bp2_ref[:]  # (G*T, D).
 
-        h = _mm(qproj - k_j + pe, wa1_ref[:], cd) + ba1_ref[:]
-        lg = (_mm(jnp.maximum(h, 0.0), wa2_ref[:], cd) + ba2_ref[:]) * inv_sqrt_d
+        h = _mm(qj - k_g + pe, wa1_ref[:], cd) + ba1_ref[:]
+        lg_g = (_mm(jnp.maximum(h, 0.0), wa2_ref[:], cd) + ba2_ref[:]) * inv_sqrt_d
 
-        new_mx = jnp.maximum(run_mx, lg)
-        scale = jnp.exp(run_mx - new_mx)
-        e = jnp.exp(lg - new_mx)
-        run_den = run_den * scale + e
-        run_acc = run_acc * scale + e * (v_j + pe)
-        run_mx = new_mx
+        vpe = v_g + pe
+        for gi in range(g_sz):
+            sl = slice(gi * T, (gi + 1) * T)
+            lg = lg_g[sl]
+            new_mx = jnp.maximum(run_mx, lg)
+            scale = jnp.exp(run_mx - new_mx)
+            e = jnp.exp(lg - new_mx)
+            run_den = run_den * scale + e
+            run_acc = run_acc * scale + e * vpe[sl]
+            run_mx = new_mx
 
     out_ref[0] = run_acc / run_den                                 # (T, D).
 
 
-@functools.partial(jax.jit, static_argnames=('k', 'dim', 'tile_n', 'compute_dtype',
-                                              'interpret'))
+@functools.partial(jax.jit, static_argnames=('k', 'dim', 'tile_n', 'group',
+                                              'compute_dtype', 'interpret'))
 def _attn_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2,
-               k, dim, tile_n, compute_dtype, interpret):
+               k, dim, tile_n, group, compute_dtype, interpret):
     (B, N_pad, _) = qpos.shape
     (_, M_pad, _) = kpos.shape
-    kern = functools.partial(_attn_kernel, k=k, dim=dim,
+    kern = functools.partial(_attn_kernel, k=k, dim=dim, group=group,
                              compute_dtype=compute_dtype)
     grid = (B, N_pad // tile_n)
 
@@ -155,7 +176,7 @@ def _attn_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba
 
 
 def fused_knn_vector_attention(q_proj, q_pos, k_all, v_all, pos2, params, k,
-                               *, key_mask=None, tile_n=128,
+                               *, key_mask=None, tile_n=128, group=None,
                                compute_dtype=jnp.float32):
     '''
     One fused vector cross-attention block.
@@ -167,10 +188,15 @@ def fused_knn_vector_attention(q_proj, q_pos, k_all, v_all, pos2, params, k,
         {'kernel', 'bias'} (flax layout).
     :param k (int): neighbors, k <= 32.
     :param key_mask (B, M) bool or None.
+    :param group (int or None): neighbors per batched gather/MLP pass inside
+        the kernel (None = 4, the measured sweet spot at the decode shapes;
+        identical numerics at any value).
     :param compute_dtype: jnp.float32 (parity) or jnp.bfloat16 (fast).
     :return (B, N, D) float32.
     '''
     assert k <= 32
+    if group is None:
+        group = 4
     (B, N, dim) = q_proj.shape
     (_, M, _) = k_all.shape
     tile_n = min(tile_n, max(_LANES, 1 << (N - 1).bit_length()))
@@ -206,5 +232,5 @@ def fused_knn_vector_attention(q_proj, q_pos, k_all, v_all, pos2, params, k,
     interpret = jax.default_backend() != 'tpu'
     out = _attn_call(q_pos_p, q_proj_p, kpos_p, kvp, kn, wp1, bp1, wp2, bp2,
                      wa1, ba1, wa2, ba2, int(k), int(dim), int(tile_n),
-                     compute_dtype, interpret)
+                     int(group), compute_dtype, interpret)
     return out[:, :N]
