@@ -13,8 +13,7 @@ tests/test_pallas_ops.py::test_fused_field_matches_module.
 import jax
 import jax.numpy as jnp
 
-from ..ops import knn, gather_neighbors, inverse_distance_weights
-from ..ops.pallas_attention import fused_knn_vector_attention
+from ..ops.pallas_attention import fused_knn_interp, fused_knn_vector_attention
 from .implicit import BASE_FREQUENCY, positional_encode
 
 __all__ = ['fused_field_apply', 'supports_fused']
@@ -60,13 +59,11 @@ def fused_field_apply(decoder, variables, points_query, pcl_abstract,
     (B, N, _) = points_query.shape
     q_xyz = points_query[..., :3]
 
-    # Local feature interpolation (implicit.py:328-339 semantics).
-    dists, idx = knn(jax.lax.stop_gradient(q_xyz),
-                     jax.lax.stop_gradient(pts_abs),
-                     decoder.num_local_features, key_mask=abstract_mask)
-    w = inverse_distance_weights(dists, 1e-4)
-    sel = gather_neighbors(feats_abs, idx)
-    features_local = jnp.einsum('bnk,bnke->bne', w, sel)
+    # Local feature interpolation (implicit.py:328-339 semantics), one fused
+    # kNN + inverse-distance-weighting pass.
+    features_local = fused_knn_interp(
+        q_xyz, pts_abs, feats_abs, decoder.num_local_features,
+        eps=1e-4, key_mask=abstract_mask, compute_dtype=compute_dtype)
     fg = jnp.broadcast_to(features_global[:, None, :],
                           (B, N, features_global.shape[-1]))
     features_query = jnp.concatenate([fg, features_local], axis=-1)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['fused_knn_vector_attention']
+__all__ = ['fused_knn_vector_attention', 'fused_knn_interp']
 
 _LANES = 128
 _BIG_I = 2 ** 30
@@ -173,6 +173,122 @@ def _attn_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba
         interpret=interpret,
     )(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2)
     return out
+
+
+def _interp_kernel(qpos_ref, kpos_ref, feats_ref, kn_ref, out_ref,
+                   *, k, group, eps, compute_dtype):
+    '''
+    kNN + inverse-distance feature interpolation in one pass (the decoder's
+    conditioning step, implicit.py:328-339 semantics): for each query, find the
+    k nearest keys, weight their features by 1/(dist+eps), L1-normalize.
+    Same extraction/gather structure as _attn_kernel; the j-th neighbor's
+    distance falls out of the argmin for free, so weights cost nothing extra.
+    Block shapes: qpos (1, T, 3) f32; kpos (1, M, 3) f32; feats (1, M, E);
+    kn (1, 1, M) f32 (+inf masked); out (1, T, E) f32.
+    '''
+    (_, T, _) = qpos_ref.shape
+    (_, M, _) = kpos_ref.shape
+    E = feats_ref.shape[-1]
+    cd = compute_dtype
+    qpos = qpos_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
+
+    prod = jax.lax.dot_general(
+        qpos, kpos_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                       # (T, M).
+    qn = jnp.sum(jnp.square(qpos), axis=-1, keepdims=True)         # (T, 1).
+    d = kn_ref[0] - 2.0 * prod
+
+    group = max(1, min(group, k))
+    acc = jnp.zeros((T, E), jnp.float32)
+    den = jnp.zeros((T, 1), jnp.float32)
+    for j0 in range(0, k, group):
+        g_sz = min(group, k - j0)
+        onehots, ws = [], []
+        for _j in range(g_sz):
+            m = jnp.min(d, axis=1, keepdims=True)                  # (T, 1).
+            idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1,
+                          keepdims=True)
+            d = jnp.where(col == idx, jnp.inf, d)
+            onehots.append(col == idx)
+            # Euclidean distance: the key norm in `m` lacks the query norm term.
+            ws.append(1.0 / (jnp.sqrt(jnp.maximum(m + qn, 0.0)) + eps))
+        onehot = (onehots[0] if g_sz == 1
+                  else jnp.concatenate(onehots, axis=0))           # (G*T, M).
+        g = _mm(onehot, feats_ref[0], cd)                          # (G*T, E).
+        for gi in range(g_sz):
+            acc = acc + ws[gi] * g[gi * T:(gi + 1) * T]
+            den = den + ws[gi]
+    out_ref[0] = acc / den
+
+
+@functools.partial(jax.jit, static_argnames=('k', 'tile_n', 'group', 'eps',
+                                              'compute_dtype', 'interpret'))
+def _interp_call(qpos, kpos, feats, kn, k, tile_n, group, eps, compute_dtype,
+                 interpret):
+    (B, N_pad, _) = qpos.shape
+    (_, M_pad, _) = kpos.shape
+    E = feats.shape[-1]
+    kern = functools.partial(_interp_kernel, k=k, group=group, eps=eps,
+                             compute_dtype=compute_dtype)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, N_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_pad, E), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, E), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N_pad, E), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(qpos, kpos, feats, kn)
+    return out
+
+
+def fused_knn_interp(q_pos, pos2, feats, k, *, eps=1e-4, key_mask=None,
+                     tile_n=128, group=4, compute_dtype=jnp.float32):
+    '''
+    Fused kNN + inverse-distance interpolation: out_n = sum_j w_j f_j / sum_j w_j
+    with w_j = 1 / (||q_n - p_j|| + eps) over the k nearest keys. Equivalent to
+    knn + inverse_distance_weights + gather + einsum (ops/interpolate.py), in a
+    single VMEM pass.
+    :param q_pos (B, N, 3); pos2 (B, M, 3); feats (B, M, E); key_mask (B, M) or
+        None.
+    :return (B, N, E) float32.
+    '''
+    assert k <= 32
+    (B, N, _) = q_pos.shape
+    (_, M, E) = feats.shape
+    tile_n = min(tile_n, max(_LANES, 1 << (N - 1).bit_length()))
+    N_pad = -(-N // tile_n) * tile_n
+    M_pad = -(-M // _LANES) * _LANES
+
+    q_pos_p = jnp.pad(q_pos.astype(jnp.float32),
+                      ((0, 0), (0, N_pad - N), (0, 0)))
+    kpos_p = jnp.pad(pos2.astype(jnp.float32),
+                     ((0, 0), (0, M_pad - M), (0, 0)))
+    feats_p = jnp.pad(feats.astype(jnp.float32),
+                      ((0, 0), (0, M_pad - M), (0, 0)))
+    kn = jnp.sum(jnp.square(kpos_p), axis=-1)                      # (B, M_pad).
+    in_play = jnp.arange(M_pad) < M
+    if key_mask is not None:
+        in_play = in_play[None] & jnp.pad(jnp.asarray(key_mask),
+                                          ((0, 0), (0, M_pad - M)))
+    kn = jnp.where(in_play, kn, jnp.inf)[:, None, :]
+
+    interpret = jax.default_backend() != 'tpu'
+    out = _interp_call(q_pos_p, kpos_p, feats_p, kn, int(k), int(tile_n),
+                       int(group), float(eps), compute_dtype, interpret)
+    return out[:, :N]
 
 
 def fused_knn_vector_attention(q_proj, q_pos, k_all, v_all, pos2, params, k,

@@ -109,3 +109,27 @@ def test_fused_field_matches_module(rng):
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out_pen), np.asarray(ref_pen),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_fused_knn_interp_matches_ops(rng):
+    import jax.numpy as jnp
+    from occlusions4d_tpu.ops.interpolate import knn_interpolate
+    from occlusions4d_tpu.ops.pallas_attention import fused_knn_interp
+
+    N, M, E, K = 210, 77, 24, 8
+    q_pos = jnp.asarray(rng.rand(1, N, 3).astype(np.float32) * 2 - 1)
+    pos2 = jnp.asarray(rng.rand(1, M, 3).astype(np.float32) * 2 - 1)
+    feats = jnp.asarray(rng.rand(1, M, E).astype(np.float32))
+
+    ref = np.asarray(knn_interpolate(feats, pos2, q_pos, K, eps=1e-4))
+    for group in (1, 3, 8):
+        out = np.asarray(fused_knn_interp(q_pos, pos2, feats, K, eps=1e-4,
+                                          group=group))
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+    mask = jnp.asarray(rng.rand(1, M) > 0.4)
+    ref_m = np.asarray(knn_interpolate(feats, pos2, q_pos, K, eps=1e-4,
+                                       key_mask=mask))
+    out_m = np.asarray(fused_knn_interp(q_pos, pos2, feats, K, eps=1e-4,
+                                        key_mask=mask))
+    np.testing.assert_allclose(out_m, ref_m, atol=2e-5, rtol=1e-4)
