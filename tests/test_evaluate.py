@@ -189,3 +189,25 @@ def test_load_reference_pth_checkpoint(setup, tmp_path):
     a2, g2 = engine2.encode(pcl)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+def test_query_sharded_decode_matches_single_device(setup):
+    '''Query-axis sharding over the full 8-device mesh must reproduce the
+    single-device dense decode (the v5e-8 eval scale-out path).'''
+    root, cfg, trainer = setup
+    loaded = load_models(cfg.output_path)
+    kw = dict(color_mode='rgb_nosigmoid', predict_segmentation=False,
+              semantic_classes=13, track_mode='none', implicit_batch_size=512)
+    eng1 = InferenceEngine(loaded, query_parallel=1, **kw)
+    eng8 = InferenceEngine(loaded, query_parallel=-1, **kw)
+    assert eng8.mesh.devices.size == len(jax.devices())
+
+    rng = np.random.RandomState(4)
+    pcl_input = rng.rand(256, 8).astype(np.float32) * 2 - 1
+    # 1200 queries: forces a padded tail chunk on the sharded path too.
+    queries = (rng.rand(1200, 4) * 4 - 2).astype(np.float32)
+    a1, g1 = eng1.encode(pcl_input)
+    out1 = eng1.decode_all(queries, a1, g1)
+    a8, g8 = eng8.encode(pcl_input)
+    out8 = eng8.decode_all(queries, a8, g8)
+    np.testing.assert_allclose(out8, out1, atol=1e-5, rtol=1e-5)
