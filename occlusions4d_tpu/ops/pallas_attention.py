@@ -39,10 +39,13 @@ _BIG_I = 2 ** 30
 
 def _mm(a, b, cd):
     # Mosaic's default f32 dot executes as a single bf16 MXU pass; request the
-    # 3-pass decomposition when true f32 fidelity is asked for.
+    # 3-pass decomposition when true f32 fidelity is asked for. Operands already
+    # in the compute dtype (pre-cast on the host side) skip the VPU cast.
     prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    return jax.lax.dot_general(a.astype(cd), b.astype(cd),
+    a = a if a.dtype == cd else a.astype(cd)
+    b = b if b.dtype == cd else b.astype(cd)
+    return jax.lax.dot_general(a, b,
                                dimension_numbers=(((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=prec)
@@ -276,7 +279,7 @@ def fused_knn_interp(q_pos, pos2, feats, k, *, eps=1e-4, key_mask=None,
                       ((0, 0), (0, N_pad - N), (0, 0)))
     kpos_p = jnp.pad(pos2.astype(jnp.float32),
                      ((0, 0), (0, M_pad - M), (0, 0)))
-    feats_p = jnp.pad(feats.astype(jnp.float32),
+    feats_p = jnp.pad(feats.astype(compute_dtype),
                       ((0, 0), (0, M_pad - M), (0, 0)))
     kn = jnp.sum(jnp.square(kpos_p), axis=-1)                      # (B, M_pad).
     in_play = jnp.arange(M_pad) < M
@@ -326,7 +329,10 @@ def fused_knn_vector_attention(q_proj, q_pos, k_all, v_all, pos2, params, k,
     kpos_p = jnp.pad(pos2.astype(jnp.float32), pad_k)
     kvp = jnp.concatenate([k_all.astype(jnp.float32), v_all.astype(jnp.float32),
                            pos2.astype(jnp.float32)], axis=-1)
-    kvp = jnp.pad(kvp, ((0, 0), (0, M_pad - M), (0, 0)))
+    # Pre-cast the gathered value matrix to the compute dtype: the kernel's
+    # one-hot gather consumes it directly, so this removes per-group VPU casts
+    # and halves the block's VMEM footprint/fetch in bf16 mode.
+    kvp = jnp.pad(kvp.astype(compute_dtype), ((0, 0), (0, M_pad - M), (0, 0)))
     kn = jnp.sum(jnp.square(kpos_p), axis=-1)                       # (B, M_pad).
     in_play = jnp.arange(M_pad) < M
     if key_mask is not None:
@@ -336,7 +342,7 @@ def fused_knn_vector_attention(q_proj, q_pos, k_all, v_all, pos2, params, k,
 
     def wb(name):
         p = params[name]
-        w = jnp.asarray(p['kernel'], jnp.float32)
+        w = jnp.asarray(p['kernel'], jnp.float32).astype(compute_dtype)
         b = jnp.asarray(p['bias'], jnp.float32)[None, :]
         return w, b
 
