@@ -86,13 +86,18 @@ def main():
     enc_ms = min(trials)
 
     # Full dense scene: encode + all query chunks (tracked metric 1 / north star).
+    # Best of 3 windows: the tunnel (and any concurrent host load) injects
+    # sporadic multi-100ms stalls into individual windows.
     reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        abstract, fg = engine.encode(pcl)
-        out = engine.decode_all(queries, abstract, fg)
-    _sync(out)
-    scene_s = (time.time() - t0) / reps
+    scene_trials = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(reps):
+            abstract, fg = engine.encode(pcl)
+            out = engine.decode_all(queries, abstract, fg)
+        _sync(out)
+        scene_trials.append((time.time() - t0) / reps)
+    scene_s = min(scene_trials)
     qps_chip = n_queries / scene_s / n_chips
 
     result = {
