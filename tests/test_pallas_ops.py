@@ -133,3 +133,41 @@ def test_fused_knn_interp_matches_ops(rng):
     out_m = np.asarray(fused_knn_interp(q_pos, pos2, feats, K, eps=1e-4,
                                         key_mask=mask))
     np.testing.assert_allclose(out_m, ref_m, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_kernels_bf16_close_to_f32(rng):
+    '''bf16 compute mode (the TPU fast path) must stay within MXU-grade error
+    of the exact-f32 kernel output.'''
+    import jax
+    import jax.numpy as jnp
+    from occlusions4d_tpu.ops.pallas_attention import (fused_knn_interp,
+                                                       fused_knn_vector_attention)
+
+    N, M, D, E, K = 200, 90, 64, 24, 8
+    q_proj = jnp.asarray(rng.rand(1, N, D).astype(np.float32) - 0.5)
+    q_pos = jnp.asarray(rng.rand(1, N, 3).astype(np.float32) * 2 - 1)
+    k_all = jnp.asarray(rng.rand(1, M, D).astype(np.float32) - 0.5)
+    v_all = jnp.asarray(rng.rand(1, M, D).astype(np.float32) - 0.5)
+    pos2 = jnp.asarray(rng.rand(1, M, 3).astype(np.float32) * 2 - 1)
+    params = {}
+    for name, (di, do) in dict(pos_mlp_0=(3, 32), pos_mlp_2=(32, D),
+                               attn_mlp_0=(D, 2 * D),
+                               attn_mlp_2=(2 * D, D)).items():
+        params[name] = dict(
+            kernel=jnp.asarray(rng.randn(di, do).astype(np.float32) * 0.1),
+            bias=jnp.asarray(rng.randn(do).astype(np.float32) * 0.01))
+
+    a32 = np.asarray(fused_knn_vector_attention(
+        q_proj, q_pos, k_all, v_all, pos2, params, K))
+    a16 = np.asarray(fused_knn_vector_attention(
+        q_proj, q_pos, k_all, v_all, pos2, params, K,
+        compute_dtype=jnp.bfloat16))
+    rel = np.abs(a16 - a32).max() / (np.abs(a32).max() + 1e-9)
+    assert rel < 3e-2, rel
+
+    feats = jnp.asarray(rng.rand(1, M, E).astype(np.float32))
+    i32 = np.asarray(fused_knn_interp(q_pos, pos2, feats, K))
+    i16 = np.asarray(fused_knn_interp(q_pos, pos2, feats, K,
+                                      compute_dtype=jnp.bfloat16))
+    rel = np.abs(i16 - i32).max() / (np.abs(i32).max() + 1e-9)
+    assert rel < 3e-2, rel
