@@ -183,3 +183,37 @@ def test_batchnorm_stats_update_and_survive_decay():
     leaves1 = jax.tree_util.tree_leaves(stats1)
     # Running mean moved away from init (stats are being updated, not decayed).
     assert any(np.abs(a - b).max() > 1e-6 for a, b in zip(leaves0, leaves1))
+
+
+def test_carla_cv1_flavor_train_step(tmp_path_factory):
+    '''End-to-end CARLA training at the cv1 config shape: segmentation head,
+    abstract_levels=2, layer norm, 13 semantic classes (README.md:41).'''
+    root = tmp_path_factory.mktemp('carla_train')
+    synthetic.make_carla_dataset(str(root), num_scenes=1, num_frames=24,
+                                 points_per_frame=1500,
+                                 stages=('train', 'val'))
+    cfg = TrainConfig(
+        data_path=str(root), batch_size=2, data_parallel=1, n_points=256,
+        n_data_rnd=512, video_len=4, frame_skip=3, past_frames=2,
+        future_frames=0, min_z=-0.5, pt_cube_bounds=20.0, cr_cube_bounds=16.0,
+        cube_mode=4, pt_feat_dim=4, up_down_blocks=2, transition_factor=4,
+        pt_num_neighbors=4, down_neighbors=4, global_size=8,
+        num_cr_local_feats=4, implicit_mlp_blocks=3, cross_attn_layers=1,
+        cross_attn_neighbors=4, num_cr_solid=64, air_sampling_ratio=1.5,
+        color_mode='rgb_nosigmoid', color_lw=1.0, tracking_lw=0.0,
+        segmentation_lw=1.0, semantic_classes=13, abstract_levels=2,
+        pt_norm_type='layer', num_epochs=2, seed=13, output_path='')
+    verify_args(cfg, is_train=True)
+    logger = Logger(context='test_carla_train')
+    kind, train_loader, _, _ = create_train_val_loaders(cfg, logger)
+    assert kind == 'carla'
+    trainer = Trainer(cfg, kind, logger=logger)
+    batch = next(iter(train_loader.epoch(0)))
+    batch = {k: v for k, v in batch.items() if k != 'meta_data'}
+    trainer.init_state(batch, steps_per_epoch=4)
+    state, metrics = trainer._train_step(trainer.state, batch,
+                                         jax.random.PRNGKey(0))
+    assert bool(metrics['grads_finite'])
+    assert np.isfinite(float(metrics['total_loss']))
+    # The segmentation objective is live at this config.
+    assert float(metrics['loss_segm']) > 0.0
