@@ -118,7 +118,8 @@ class CarlaDataset:
         self.allow_random_frames = True
         self.min_input_size = 64
         self.min_target_size = 512
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self._epoch = 0
 
         self.stage_dir = os.path.join(dataset_root, stage)
         if not os.path.exists(self.stage_dir):
@@ -176,7 +177,14 @@ class CarlaDataset:
     def __len__(self):
         return self.dset_size
 
-    def _get_frame_start(self, index, scene_dp, sensor_RT):
+    def set_epoch(self, epoch):
+        '''Advance the per-example RNG stream (called by Loader.epoch).'''
+        self._epoch = int(epoch)
+
+    def _example_rng(self, index):
+        return common.example_rng(self.seed, self._epoch, index)
+
+    def _get_frame_start(self, index, scene_dp, sensor_RT, rng):
         num_frames = len(self._rgb_frames(scene_dp))
         occl_frame_idx, found_rate = -1, -1.0
         if self.is_single_scene:
@@ -186,11 +194,11 @@ class CarlaDataset:
         frame_low, frame_high = 10, num_frames - 20
         frame_start_high = max(frame_high - self.video_length * self.frame_skip,
                                frame_low + 1)
-        frame_start = self.rng.randint(frame_low, frame_start_high)
+        frame_start = rng.randint(frame_low, frame_start_high)
 
         if self.starting_frames is not None:
             frame_start = self.starting_frames[str(scene_idx)] + self.json_shift
-        elif 'test' not in self.stage and self.rng.rand() >= 0.40:
+        elif 'test' not in self.stage and rng.rand() >= 0.40:
             pass  # biased clip sampling 40% of the time (data_carla.py:263-265).
         elif self.sample_bias != 'none':
             if 'occl' in self.sample_bias:
@@ -200,12 +208,12 @@ class CarlaDataset:
                 # 'move' sub-filter folded into the walk via rejection below.
                 start, occl_frame_idx, found_rate = common.pick_biased_frame_start(
                     cum, frame_low, frame_start_high, time_shift, 120, self.counter,
-                    scene_idx, self.stage, self.rng, counter_double_prob=0.1)
+                    scene_idx, self.stage, rng, counter_double_prob=0.1)
                 if start is not None:
                     if 'move' in self.sample_bias and not is_moving_anytime(
                             sensor_RT, start,
                             start + self.video_length * self.frame_skip):
-                        if 'test' in self.stage or self.rng.rand() < 0.97:
+                        if 'test' in self.stage or rng.rand() < 0.97:
                             start = None
                 if start is not None:
                     frame_start = start
@@ -218,11 +226,11 @@ class CarlaDataset:
         return frame_start, num_frames, occl_frame_idx, found_rate
 
     def __getitem__(self, index):
-        rng = self.rng
+        rng = self._example_rng(index)
         # Retry loop for invalid scenes (data_carla.py:353-379).
         for attempt in range(8):
             try:
-                result = self._load_example(index)
+                result = self._load_example(index, rng)
                 if result is not None:
                     return result
             except Exception as e:
@@ -232,8 +240,7 @@ class CarlaDataset:
             index = rng.randint(self.dset_size)
         raise RuntimeError('No valid CARLA example found after retries.')
 
-    def _load_example(self, index):
-        rng = self.rng
+    def _load_example(self, index, rng):
         if self.is_single_scene:
             scene_idx, scene_dp = -1, self.all_scenes[0]
             scene_dn = str(pathlib.Path(scene_dp).name)
@@ -255,7 +262,7 @@ class CarlaDataset:
         num_views = len(VIEW_NAMES)
 
         (frame_start, num_frames, occl_frame_idx, found_rate) = \
-            self._get_frame_start(index, scene_dp, sensor_RT)
+            self._get_frame_start(index, scene_dp, sensor_RT, rng)
         if frame_start is None:
             return None
         frame_inds = np.arange(frame_start,

@@ -19,7 +19,21 @@ from ..native import fps_host
 from ..utils.misc import elitist_shuffle
 
 __all__ = ['CounterBoard', 'get_valo_ids', 'subsample_pad', 'pad_rows',
-           'pick_biased_frame_start']
+           'pick_biased_frame_start', 'example_rng']
+
+
+def example_rng(seed, epoch, index):
+    '''Per-example generator derived from (seed, epoch, index).
+
+    Replaces the single dataset-wide RandomState that loader threads would race on
+    (RandomState is not thread-safe) and makes num_workers > 1 bit-reproducible:
+    the same (seed, epoch, index) always yields the same example, regardless of
+    worker count or scheduling. The reference achieves per-worker determinism by
+    seeding each DataLoader worker process instead
+    (/root/reference/data/data.py:14-17, train.py:32-35).
+    '''
+    root = np.random.SeedSequence((int(seed) & 0xffffffff, int(epoch), int(index)))
+    return np.random.RandomState(root.generate_state(1)[0])
 
 
 class CounterBoard:

@@ -121,7 +121,8 @@ class GreaterDataset:
         self.force_view_idx = force_view_idx
         self.return_images = return_images
         self.allow_random_frames = True
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self._epoch = 0
 
         self.stage_dir = os.path.join(dataset_root, stage)
         if not os.path.exists(self.stage_dir):
@@ -180,7 +181,14 @@ class GreaterDataset:
     def __len__(self):
         return self.dset_size
 
-    def _get_frame_start(self, index, scene_dp, src_view):
+    def set_epoch(self, epoch):
+        '''Advance the per-example RNG stream (called by Loader.epoch).'''
+        self._epoch = int(epoch)
+
+    def _example_rng(self, index):
+        return common.example_rng(self.seed, self._epoch, index)
+
+    def _get_frame_start(self, index, scene_dp, src_view, rng):
         num_frames = len(self._rgb_frames(scene_dp))
         occl_frame_idx, found_occl_rate = -1, -1.0
         if self.is_single_scene:
@@ -188,12 +196,12 @@ class GreaterDataset:
 
         scene_idx = index // self.multiplier
         frame_start_high = max(num_frames - self.video_length * self.frame_skip, 1)
-        frame_start = self.rng.randint(0, frame_start_high)
+        frame_start = rng.randint(0, frame_start_high)
 
         if self.starting_frames is not None:
             frame_start, src_view = self.starting_frames[str(scene_idx)]
             frame_start += self.json_shift
-        elif 'test' not in self.stage and self.rng.rand() >= 0.30:
+        elif 'test' not in self.stage and rng.rand() >= 0.30:
             pass  # biased clip sampling only 30% of the time (data_greater.py:234-236).
         elif self.sample_bias != 'none':
             if 'occl' in self.sample_bias:
@@ -202,7 +210,7 @@ class GreaterDataset:
                                  * self.frame_skip)
                 start, occl_frame_idx, found_occl_rate = common.pick_biased_frame_start(
                     rate, 0, frame_start_high, time_shift, 40, self.counter,
-                    scene_idx, self.stage, self.rng)
+                    scene_idx, self.stage, rng)
                 if start is not None:
                     frame_start = start
         elif not self.allow_random_frames:
@@ -210,7 +218,7 @@ class GreaterDataset:
         return frame_start, src_view, num_frames, occl_frame_idx, found_occl_rate
 
     def __getitem__(self, index):
-        rng = self.rng
+        rng = self._example_rng(index)
         if self.is_single_scene:
             scene_idx, scene_dp = -1, self.all_scenes[0]
         else:
@@ -226,7 +234,7 @@ class GreaterDataset:
                     else rng.randint(num_views))
 
         (frame_start, src_view, num_frames, occl_frame_idx, found_occl_rate) = \
-            self._get_frame_start(index, scene_dp, src_view)
+            self._get_frame_start(index, scene_dp, src_view, rng)
         frame_inds = np.arange(frame_start,
                                frame_start + self.video_length * self.frame_skip,
                                self.frame_skip)

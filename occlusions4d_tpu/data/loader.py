@@ -61,6 +61,8 @@ class Loader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def epoch(self, epoch_idx=0):
+        if hasattr(self.dataset, 'set_epoch'):
+            self.dataset.set_epoch(epoch_idx)  # per-(seed, epoch, index) RNG streams.
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + epoch_idx).shuffle(order)

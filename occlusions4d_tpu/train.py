@@ -129,7 +129,22 @@ class Trainer:
         self.cfg = cfg
         self.data_kind = data_kind
         self.logger = logger or StepLogger(context='train', batch_size=cfg.batch_size)
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.data_parallel)
+        if mesh is None:
+            dp = cfg.data_parallel
+            if dp is None or dp < 0:
+                # Auto: the largest divisor of batch_size that fits on this host, so
+                # the default never produces an unshardable batch.
+                n_dev = len(jax.devices())
+                dp = max(d for d in range(1, min(cfg.batch_size, n_dev) + 1)
+                         if cfg.batch_size % d == 0)
+            mesh = make_mesh(dp)
+        self.mesh = mesh
+        if cfg.batch_size % self.mesh.size != 0:
+            raise ValueError(
+                f'batch_size={cfg.batch_size} is not divisible by the data-parallel '
+                f'mesh size {self.mesh.size}; every step would fail at shard time '
+                f'(and be swallowed by the exception tolerance). Adjust '
+                f'--batch_size or --data_parallel.')
 
         dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
         self.encoder, self.decoder, self.encoder_args, self.decoder_args = \
