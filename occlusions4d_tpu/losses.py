@@ -120,15 +120,25 @@ def per_slice_losses(output, target, cfg: LossConfig):
     )
 
 
-def per_example_losses(output, target, cfg: LossConfig):
+def per_example_losses(output, target, cfg: LossConfig, frame_weight=None):
     '''
     :param output (B, T, N, C), target (B, T, N, 6).
-    :return dict of scalar losses, each the mean over (B, T) slice losses
-        (matching loss.py:219-253 stacking semantics).
+    :param frame_weight (B, T) bool/float or None: per-(example, frame) validity.
+        Degenerate frames (sampler ok=False, i.e. < 256 valid target points) get
+        weight 0 so they cannot update the weights -- the mask-based equivalent of
+        the reference's hard error on such frames
+        (/root/reference/utils/geometry.py:688-689) that train.py absorbs by
+        skipping the step (train.py:87-94).
+    :return dict of scalar losses, each the (weighted) mean over (B, T) slice
+        losses (matching loss.py:219-253 stacking semantics).
     '''
     fn = lambda o, t: per_slice_losses(o, t, cfg)
     sliced = jax.vmap(jax.vmap(fn))(output, target)
-    return {k: jnp.mean(v) for k, v in sliced.items()}
+    if frame_weight is None:
+        return {k: jnp.mean(v) for k, v in sliced.items()}
+    w = frame_weight.astype(output.dtype)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    return {k: jnp.sum(v * w) / denom for k, v in sliced.items()}
 
 
 def total_loss(losses, cfg: LossConfig):

@@ -115,20 +115,22 @@ class TrainPipeline:
         solid_sbs, air_sbs, oks = [], [], []
         for t in range(T):
             rng, k_other, k_sample = jax.random.split(rng, 3)
-            # Random *other* frame for dynamic-region supervision
-            # (geometry.py:651-659).
+            # Random *other* frame for dynamic-region supervision, drawn per
+            # example like the reference's per-example sampler loop
+            # (geometry.py:651-659): a batch-shared draw would narrow the
+            # 'moving'-bias supervision distribution at larger batch sizes.
             if T > 1:
-                other_t = jax.random.randint(k_other, (), 0, T - 1)
+                other_t = jax.random.randint(k_other, (B,), 0, T - 1)
                 other_t = jnp.where(other_t == t, other_t + 1, other_t)
             else:
-                other_t = jnp.asarray(0)
+                other_t = jnp.zeros((B,), jnp.int32)
             tgt_t = pcl_target[:, t]
             val_t = tgt_valid[:, t]
             tgt_o = jnp.take_along_axis(
-                pcl_target, other_t[None, None, None, None].astype(jnp.int32),
+                pcl_target, other_t[:, None, None, None].astype(jnp.int32),
                 axis=1)[:, 0]
             val_o = jnp.take_along_axis(
-                tgt_valid, other_t[None, None, None].astype(jnp.int32), axis=1)[:, 0]
+                tgt_valid, other_t[:, None, None].astype(jnp.int32), axis=1)[:, 0]
 
             keys = jax.random.split(k_sample, B)
             sample = jax.vmap(
@@ -156,15 +158,18 @@ class TrainPipeline:
 
         output = jnp.stack(outputs, axis=1)     # (B, T, S+A, C).
         target = jnp.stack(targets, axis=1)     # (B, T, S+A, 6).
+        ok_bt = jnp.stack(oks, axis=1)          # (B, T) sampler validity.
 
-        losses = per_example_losses(output, target, cfg.loss_config)
+        losses = per_example_losses(output, target, cfg.loss_config,
+                                    frame_weight=ok_bt)
         aux = dict(
             abstract=abstract, features_global=feats_global,
             points_query=jnp.stack(queries, axis=1), implicit_output=output,
             implicit_target=target,
             solid_sbs=jnp.stack(solid_sbs, 1).mean(axis=(0, 1)),
             air_sbs=jnp.stack(air_sbs, 1).mean(axis=(0, 1)),
-            sample_ok=jnp.stack(oks, 1).all(),
+            sample_ok=ok_bt.all(),
+            sample_ok_frac=ok_bt.mean(),
             layer_coords=layer_coords,
             batch_stats=bn_updates,
         )

@@ -104,6 +104,7 @@ def make_train_step(pipeline: TrainPipeline, tx):
         metrics = dict(total_loss=loss, grad_norm=grad_norm,
                        grads_finite=grads_finite, params_finite=params_finite,
                        sample_ok=aux['sample_ok'],
+                       sample_ok_frac=aux['sample_ok_frac'],
                        solid_sbs=aux['solid_sbs'], air_sbs=aux['air_sbs'],
                        **{f'loss_{k}': v for k, v in losses.items()})
         new_state = dict(params=new_params, opt_state=new_opt_state, step=step + 1)

@@ -78,6 +78,34 @@ def test_train_step_runs_and_descends(trained):
     assert np.isfinite(losses).all()
 
 
+def test_degenerate_frame_zero_loss_contribution(trained):
+    '''A frame with < 256 valid target points is zero-weighted in the loss: its
+    (unsupervisable) contents cannot update the weights. Mask-based analogue of the
+    reference's hard error on such frames (/root/reference/utils/geometry.py:688-689)
+    absorbed by the step-skip tolerance (train.py:87-94).'''
+    cfg, trainer, batches = trained
+    base = {k: np.array(v, copy=True) for k, v in batches[0].items()
+            if k != 'meta_data'}
+    base['pcl_target_valid'][:, 1, 8:] = False      # degenerate frame 1, all examples.
+    alt = {k: v.copy() for k, v in base.items()}
+    # Scramble the degenerate frame's contents; the loss must not move.
+    alt['pcl_target'][:, 1] = alt['pcl_target'][:, 1][:, ::-1] * 0.5 + 0.25
+
+    rng = jax.random.PRNGKey(3)
+    params = trainer.state['params']
+    to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+    losses_a, aux_a = trainer.pipeline.forward(params, to_dev(base), rng)
+    losses_b, aux_b = trainer.pipeline.forward(params, to_dev(alt), rng)
+
+    assert not bool(aux_a['sample_ok'])
+    assert float(aux_a['sample_ok_frac']) == pytest.approx(0.5)
+    for k in losses_a:
+        np.testing.assert_allclose(np.asarray(losses_a[k]), np.asarray(losses_b[k]),
+                                   rtol=1e-6, atol=1e-7)
+    # The valid frame still supervises: losses are non-trivial.
+    assert float(losses_a['dens']) > 0.0
+
+
 def test_metrics_structure(trained):
     cfg, trainer, batches = trained
     b = shard_batch(batches[0], trainer.mesh)
