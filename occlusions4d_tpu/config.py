@@ -51,6 +51,10 @@ class SharedConfig:
     sample_bias: str = 'none'
     sb_occl_frame_shift: int = 2
 
+    # Observability. The reference always inits wandb (train.py:360); hermetic TPU
+    # pods have no network, so it is opt-in here and degrades to file logging.
+    use_wandb: bool = False
+
 
 @dataclass
 class TrainConfig(SharedConfig):
@@ -118,6 +122,8 @@ class TrainConfig(SharedConfig):
     # TPU-native additions (not in the reference).
     data_parallel: int = -1       # chips for batch sharding; -1 = all local devices.
     query_parallel: int = 1       # chips for query-axis sharding at eval.
+    export_visuals: bool = False  # load images for early-epoch gallery exports.
+    viz_interval: int = 80        # intermediate-export cadence (pipeline.py:92-94).
     tag: str = ''
 
 

@@ -271,6 +271,9 @@ class CarlaDataset:
 
         in_cub = carla_input_bounds(self.other_bounds, self.min_z, self.cube_mode)
         all_lidar, all_rgb, all_RT, all_K = [], [], [], []
+        # Dataset health signals for the train-time histograms
+        # (/root/reference/data/data_carla.py:419-421, 639-641).
+        cuboid_filter_ratios, sample_input_ratios, sample_target_ratios = [], [], []
         for v, view in enumerate(VIEW_NAMES):
             view_lidar, view_rgb, view_RT, view_K = [], [], [], []
             for f in frame_inds:
@@ -284,11 +287,15 @@ class CarlaDataset:
                     lidar = transform_lidar_frame(lidar, cam_RT, sensor_RT[ref_f, 0])
                 if self.correct_origin_ground:
                     lidar[:, 2] += 1.0  # sensor height (data_carla.py:461-463).
+                pre_filter = lidar.shape[0]
                 lidar = lidar[np.asarray(cuboid_mask(lidar, in_cub))]
+                cuboid_filter_ratios.append(lidar.shape[0] / max(pre_filter, 1))
+                pre_sample = lidar.shape[0]
                 if self.n_points_rnd > 0 and lidar.shape[0] > self.n_points_rnd:
                     inds = rng.choice(lidar.shape[0], self.n_points_rnd, replace=False)
                     inds.sort()
                     lidar = lidar[inds]
+                sample_input_ratios.append(lidar.shape[0] / max(pre_sample, 1))
                 view_lidar.append(lidar.astype(np.float32))
                 view_RT.append(cam_RT)
                 view_K.append(sensor_K)
@@ -332,6 +339,7 @@ class CarlaDataset:
             if frame.shape[0] < self.min_target_size:
                 self.logger.warning(f'Invalid due to pcl_target_size: {frame.shape[0]}')
                 return None
+            pre_target = frame.shape[0]
             if self.n_fps_target != 0:
                 mode = 'farthest_point' if self.n_fps_target > 0 else 'random'
                 frame, size = common.subsample_pad(
@@ -339,6 +347,7 @@ class CarlaDataset:
                     retain_vehped=self.oversample_vehped_target, segm_idx=5)
             else:
                 frame, size = common.pad_rows(frame, tgt_cap)
+            sample_target_ratios.append(size / max(pre_target, 1))
             pcl_target.append(frame)
             pcl_target_size.append(size)
 
@@ -379,7 +388,10 @@ class CarlaDataset:
                 view_sensor_matching=VIEW_SENSOR_MATCHING,
                 occl_frame_idx=occl_frame_idx, found_occl_rate=found_rate,
                 valo_ids=valo_pad, num_valo_ids=num_valo, live_occl=live_occl,
-                track_id=-1),
+                track_id=-1,
+                cuboid_filter_ratios=np.asarray(cuboid_filter_ratios, np.float32),
+                sample_input_ratios=np.asarray(sample_input_ratios, np.float32),
+                sample_target_ratios=np.asarray(sample_target_ratios, np.float32)),
         )
         if self.return_images:
             out['rgb'] = np.stack(all_rgb)

@@ -241,10 +241,14 @@ class GreaterDataset:
 
         cub = greater_bounds(self.other_bounds, self.min_z)
         all_pcl, all_rgb, all_depth, all_RT, all_K = [], [], [], [], []
+        all_flat, all_snitch = [], []
+        # Dataset health signals (/root/reference/data/data_greater.py:337).
+        cuboid_filter_ratios, sample_input_ratios = [], []
         for v in range(num_views):
             src_RT = np.load(os.path.join(pose_dps[v], 'camera_RT.npy'))
             src_K = np.load(os.path.join(pose_dps[v], 'camera_K.npy'))
             view_pcl, view_rgb, view_depth, view_RT, view_K = [], [], [], [], []
+            view_flat, view_snitch = [], []
             for f in frame_inds:
                 rgb = _imread(os.path.join(image_dps[v], f'{f:04d}.png'))[..., :3] \
                     .astype(np.float32)
@@ -264,15 +268,29 @@ class GreaterDataset:
                 # (N, 7): (x, y, z, instance_id, R, G, B).
                 keep = np.asarray(cuboid_mask(pcl, cub)) \
                     & np.asarray(greater_floor_mask(pcl))
+                pre_filter = pcl.shape[0]
                 pcl = pcl[keep]
+                cuboid_filter_ratios.append(pcl.shape[0] / max(pre_filter, 1))
+                pre_sample = pcl.shape[0]
                 if self.n_points_rnd > 0 and pcl.shape[0] > self.n_points_rnd:
                     inds = rng.choice(pcl.shape[0], self.n_points_rnd, replace=False)
                     inds.sort()
                     pcl = pcl[inds]
+                sample_input_ratios.append(pcl.shape[0] / max(pre_sample, 1))
                 view_pcl.append(pcl.astype(np.float32))
                 if self.return_images:
                     view_rgb.append(rgb)
                     view_depth.append(depth)
+                    view_flat.append(flat)
+                    # Snitch mask: the tracked-object segmentation overlay
+                    # (data_greater.py:356-377); zeros when the file is absent.
+                    snitch_fp = os.path.join(image_dps[v],
+                                             f'{f:04d}_preflat_snitch.png')
+                    if os.path.exists(snitch_fp):
+                        snitch = _imread(snitch_fp)[..., :3].astype(np.float32)
+                    else:
+                        snitch = np.zeros_like(flat)
+                    view_snitch.append(snitch)
                 view_RT.append(cam_RT)
                 view_K.append(cam_K)
             all_pcl.append(view_pcl)
@@ -281,6 +299,8 @@ class GreaterDataset:
             if self.return_images:
                 all_rgb.append(np.stack(view_rgb))
                 all_depth.append(np.stack(view_depth))
+                all_flat.append(np.stack(view_flat))
+                all_snitch.append(np.stack(view_snitch))
 
         pcl_video_views = accumulate_pcl_time(all_pcl)
         # list-V of (T*N, 8): (x, y, z, inst, R, G, B, t).
@@ -364,9 +384,14 @@ class GreaterDataset:
                 pcl_input_size=pcl_input_size, pcl_target_size=pcl_target_size,
                 occl_frame_idx=occl_frame_idx, found_occl_rate=found_occl_rate,
                 valo_ids=valo_pad, num_valo_ids=num_valo, live_occl=live_occl,
-                track_id=track_id),
+                track_id=track_id,
+                cuboid_filter_ratios=np.asarray(cuboid_filter_ratios, np.float32),
+                sample_input_ratios=np.asarray(sample_input_ratios, np.float32)),
         )
         if self.return_images:
+            # (V, T, H, W, 3) / (V, T, H, W) stacks (data_greater.py:592-614).
             out['rgb'] = np.stack(all_rgb)
             out['depth'] = np.stack(all_depth)
+            out['flat'] = np.stack(all_flat)
+            out['snitch'] = np.stack(all_snitch)
         return out

@@ -21,7 +21,8 @@ from .carla import CarlaDataset
 __all__ = ['Loader', 'collate', 'create_train_val_loaders', 'create_test_loader']
 
 _STACK_KEYS = ('pcl_input', 'pcl_input_sem', 'pcl_target', 'pcl_target_valid',
-               'valo_ids', 'num_valo_ids', 'cam_RT', 'cam_K', 'rgb', 'depth')
+               'valo_ids', 'num_valo_ids', 'cam_RT', 'cam_K', 'rgb', 'depth',
+               'flat', 'snitch')
 
 
 def collate(examples):
@@ -145,7 +146,8 @@ def _train_dset_args(cfg, data_kind, logger):
         pcl_target_frames=cfg.past_frames + cfg.future_frames,
         sample_bias=cfg.sample_bias, sb_occl_frame_shift=cfg.sb_occl_frame_shift,
         min_z=cfg.min_z, other_bounds=cfg.pt_cube_bounds,
-        use_data_frac=cfg.use_data_frac, verbose='dbg' in cfg.name)
+        use_data_frac=cfg.use_data_frac, verbose='dbg' in cfg.name,
+        return_images=getattr(cfg, 'export_visuals', False))
     if data_kind == 'carla':
         reference_frame = (cfg.video_len - cfg.future_frames - 1
                            if cfg.correct_ego_motion else None)

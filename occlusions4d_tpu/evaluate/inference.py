@@ -118,13 +118,18 @@ class InferenceEngine:
 
     def __init__(self, loaded, color_mode, predict_segmentation, semantic_classes,
                  track_mode='none', implicit_batch_size=65536, mesh=None,
-                 query_parallel=-1, fused_decode=None):
+                 query_parallel=-1, fused_decode=None, store_activations=False):
         '''
         :param fused_decode (bool or None): run the decoder through the fused
             Pallas cross-attention path (models/fused.py; 2.6x faster per chunk).
             None auto-enables on TPU for supported configurations. Numerics are
             bf16-MXU grade, the same class as the XLA path's default-precision
             dots (exact-f32 parity is asserted in interpreter mode by tests).
+        :param store_activations (bool): also return the decoder's penultimate
+            activations from decode_all (float16), for offline attention /
+            emergence-of-tracking analysis (--store_activations; the reference
+            declared the flag but discarded the tensors,
+            /root/reference/eval/inference.py:211,260).
         '''
         from ..models.fused import fused_field_apply, supports_fused
         self.encoder = loaded['encoder']
@@ -146,6 +151,7 @@ class InferenceEngine:
             fused_decode = (jax.default_backend() == 'tpu'
                             and supports_fused(dec))
         self.fused_decode = fused_decode
+        self.store_activations = store_activations
         self._encode = jax.jit(lambda p, x: enc.apply(p, x))
         tm = track_mode
 
@@ -153,12 +159,15 @@ class InferenceEngine:
             if self.fused_decode:
                 # bf16 MXU passes: the same numeric class as the XLA path's
                 # default-precision dots, at 4x the kernel throughput.
-                out, _ = fused_field_apply(dec, p, q, abstract, fg,
-                                           compute_dtype=jnp.bfloat16)
+                out, penult = fused_field_apply(dec, p, q, abstract, fg,
+                                                compute_dtype=jnp.bfloat16)
             else:
-                out, _ = dec.apply(p, q, abstract, fg)
-            return squash_eval(out, color_mode, predict_segmentation,
-                               semantic_classes, tm)
+                out, penult = dec.apply(p, q, abstract, fg)
+            out = squash_eval(out, color_mode, predict_segmentation,
+                              semantic_classes, tm)
+            if self.store_activations:
+                return out, penult.astype(jnp.float16)
+            return out
 
         self._decode = jax.jit(_decode)
 
@@ -201,8 +210,14 @@ class InferenceEngine:
         q_dev = jax.device_put(
             q, NamedSharding(self.mesh, P(None, None, 'dp', None)))
         outs = self._decode_many(self.params['decoder'], q_dev, abstract, fg)
+        fetch = (lambda a: a) if on_device else np.asarray
+        if self.store_activations:
+            outs, penults = outs
+            penults = penults.reshape(n_chunks * self.chunk, -1)[:P_total]
+            outs = outs.reshape(n_chunks * self.chunk, -1)[:P_total]
+            return fetch(outs), fetch(penults)
         outs = outs.reshape(n_chunks * self.chunk, -1)[:P_total]
-        return outs if on_device else np.asarray(outs)
+        return fetch(outs)
 
 
 def perform_inference(pcl_input, pcl_input_sem, pcl_target_frame, engine, min_z,
@@ -211,7 +226,8 @@ def perform_inference(pcl_input, pcl_input_sem, pcl_target_frame, engine, min_z,
                       point_sample_mode='random', predict_segmentation=False,
                       track_mode='none', point_occupancy_radius=0.2,
                       semantic_classes=13, density_threshold=0.5, data_kind='',
-                      cube_mode=4, compress_air=False, rng=None):
+                      cube_mode=4, compress_air=False, rng=None,
+                      store_activations=False):
     '''
     One frame of test-time prediction (parity: inference.py:83-325).
     :param pcl_input (N, 8) numpy: (x, y, z, R, G, B, t, mark_track).
@@ -241,7 +257,9 @@ def perform_inference(pcl_input, pcl_input_sem, pcl_target_frame, engine, min_z,
                                       data_kind, cube_mode, point_sample_mode,
                                       rng=rng)                       # (P, 4).
 
+    store_activations = store_activations and engine.store_activations
     all_abstract, all_global, all_out = [], [], []
+    penult = None
     pcl_input = np.array(pcl_input, np.float32)
     for mark_inst_id in track_instance_ids:
         if mark_inst_id >= 0:
@@ -249,6 +267,10 @@ def perform_inference(pcl_input, pcl_input_sem, pcl_target_frame, engine, min_z,
             pcl_input[..., -1] = mask.astype(np.float32)
         abstract, fg = engine.encode(pcl_input)
         out = engine.decode_all(points_query, abstract, fg)          # (P, C).
+        if engine.store_activations:
+            out, run_penult = out
+            if penult is None:
+                penult = run_penult  # activations of the unmarked / first run.
         all_abstract.append(np.asarray(abstract[0]))
         all_global.append(np.asarray(fg[0]))
         all_out.append(out)
@@ -283,6 +305,10 @@ def perform_inference(pcl_input, pcl_input_sem, pcl_target_frame, engine, min_z,
 
     result['output_solid'] = solid_points
     result['output_air'] = air_points
+    if store_activations:
+        # Penultimate activations of the predicted-solid queries only (float16):
+        # the analysable set, at a exportable size (dense air dominates the grid).
+        result['penult_solid'] = np.asarray(penult)[solid_sel]
     if gt_available:
         result['gt_solid'] = points_nngt[solid_sel]
         gt_air = points_nngt[~solid_sel]

@@ -37,9 +37,14 @@ def backfill_from_train(args: TestConfig, train_cfg):
 
 
 def run_test(args: TestConfig, engine, data_kind, loader, logger):
-    '''Main eval loop (eval/test.py:31-135).'''
+    '''Main eval loop (eval/test.py:31-135). --save_metrics scores every predicted
+    frame with evaluate.metrics and writes metrics.json; --store_activations
+    exports the decoder's penultimate activations of predicted-solid queries
+    (activations_s{step}.p) -- both flags were declared but dead in the reference
+    (/root/reference/eval/test.py:73,92,113; args.py:345-348).'''
     log_folder = 'test_' + args.test_tag
     rng = np.random.RandomState(args.seed)
+    all_metrics = []
     start = time.time()
 
     for cur_step, batch in enumerate(loader.epoch(0)):
@@ -54,6 +59,7 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
         sem_for_inference = pcl_input_sem if args.track_mode != 'none' else None
 
         pcl_all = []
+        activations = []
         for time_idx in range(num_frames):
             tgt_frame = pcl_target[time_idx][tgt_valid[time_idx]]
             tgt_for_inference = tgt_frame if args.save_gt else None
@@ -68,7 +74,19 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
                 point_occupancy_radius=args.point_occupancy_radius,
                 semantic_classes=args.semantic_classes,
                 density_threshold=args.density_threshold, data_kind=data_kind,
-                cube_mode=args.cube_mode, compress_air=True, rng=rng)
+                cube_mode=args.cube_mode, compress_air=True, rng=rng,
+                store_activations=args.store_activations)
+
+            if args.save_metrics:
+                from .metrics import frame_metrics
+                m = frame_metrics(
+                    inf['output_solid'], inf['output_air'], tgt_frame, data_kind,
+                    args.point_occupancy_radius, args.color_mode,
+                    args.segmentation_lw > 0.0, args.semantic_classes)
+                m.update(step=cur_step, time_idx=time_idx)
+                all_metrics.append(m)
+            if args.store_activations and 'penult_solid' in inf:
+                activations.append(inf['penult_solid'])
 
             if cur_step % 4 == 0:
                 logger.report_implicit_histograms(
@@ -84,6 +102,9 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
 
         if args.store_pcl:
             logger.save_pickle(pcl_all, f'pcl_io_s{cur_step}.p', folder=log_folder)
+        if args.store_activations and activations:
+            logger.save_pickle(activations, f'activations_s{cur_step}.p',
+                               folder=log_folder)
 
         logger.report_scalar('test/pcl_input_size', pcl_input.shape[0], step=cur_step)
         logger.report_scalar('test/pcl_output_size', inf['output_solid'].shape[0],
@@ -94,6 +115,28 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
                                 step=cur_step)
         logger.save_pickle((meta, batch.get('cam_RT'), batch.get('cam_K')),
                            f'metadata_s{cur_step}.p', folder=log_folder)
+
+    if args.save_metrics and all_metrics:
+        import json
+        keys = [k for k in all_metrics[0] if k not in ('step', 'time_idx')]
+        agg = {}
+        for k in keys:
+            vals = [m[k] for m in all_metrics if np.isfinite(m[k])]
+            if vals:
+                agg[k] = float(np.mean(vals))
+        summary = dict(mean=agg, per_frame=[
+            {k: (float(v) if np.isfinite(v) else None) for k, v in m.items()}
+            for m in all_metrics])
+        fp = os.path.join(logger._artifact_dir('pickle', log_folder),
+                          'metrics.json')
+        with open(fp, 'w') as f:
+            json.dump(summary, f, indent=2, sort_keys=True)
+        logger.info('metrics: ' + ', '.join(f'{k}={v:.4f}'
+                                            for k, v in sorted(agg.items())))
+        for k, v in agg.items():
+            logger.report_scalar(f'test/{k}', v)
+        return summary
+    return None
 
 
 def main(args: TestConfig, logger=None):
@@ -120,10 +163,13 @@ def main(args: TestConfig, logger=None):
         predict_segmentation=args.segmentation_lw > 0.0,
         semantic_classes=args.semantic_classes, track_mode=args.track_mode,
         implicit_batch_size=args.implicit_batch_size,
-        query_parallel=args.query_parallel)
+        query_parallel=args.query_parallel,
+        store_activations=args.store_activations)
 
+    logger.use_wandb = logger.use_wandb or args.use_wandb
+    logger.init_wandb('occlusions-4d_test', args)  # /root/reference/eval/test.py:208.
     logger.info(f'Final test args: {args}')
-    run_test(args, engine, data_kind, loader, logger)
+    return run_test(args, engine, data_kind, loader, logger)
 
 
 if __name__ == '__main__':

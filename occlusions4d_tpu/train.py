@@ -113,6 +113,28 @@ def make_train_step(pipeline: TrainPipeline, tx):
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_viz_step(pipeline: TrainPipeline):
+    '''Jitted observability forward: re-runs the pipeline with
+    return_intermediate=True and returns the visual-export arrays (input/abstract/
+    target/output point clouds + per-layer coordinates). Run every
+    cfg.viz_interval train steps, mirroring the reference's
+    `return_intermediate = step % 80 == 0` (/root/reference/pipeline.py:92-94) and
+    MyLogger's npy exports (logvis.py:300-380). Costs one extra forward on those
+    steps only.'''
+
+    def viz_fn(state, batch, rng):
+        _, aux = pipeline.forward(state['params'], batch, rng,
+                                  return_intermediate=True)
+        return dict(abstract=aux['abstract'],
+                    points_query=aux['points_query'],
+                    implicit_output=aux['implicit_output'],
+                    implicit_target=aux['implicit_target'],
+                    features_global=aux['features_global'],
+                    layer_coords=aux['layer_coords'])
+
+    return jax.jit(viz_fn)
+
+
 def make_eval_step(pipeline: TrainPipeline):
     def eval_fn(state, batch, rng):
         from .losses import total_loss
@@ -189,6 +211,7 @@ class Trainer:
         self.state = jax.device_put(self.state, replicated(self.mesh))
         self._train_step = make_train_step(self.pipeline, self.tx)
         self._eval_step = make_eval_step(self.pipeline)
+        self._viz_step = make_viz_step(self.pipeline)
         return self.state
 
     def resume(self, path, steps_per_epoch=1000):
@@ -197,6 +220,7 @@ class Trainer:
         self.state = jax.device_put(payload['state'], replicated(self.mesh))
         self._train_step = make_train_step(self.pipeline, self.tx)
         self._eval_step = make_eval_step(self.pipeline)
+        self._viz_step = make_viz_step(self.pipeline)
         self.start_epoch = payload['epoch'] + 1
         return self.state
 
@@ -233,8 +257,14 @@ class Trainer:
                 break
             rng, k = jax.random.split(rng)
             try:
-                # meta_data stays on host (per-example bookkeeping, not step input).
-                batch = {k2: v for k2, v in batch.items() if k2 != 'meta_data'}
+                # meta_data and image stacks stay on host (bookkeeping / visuals,
+                # not step inputs).
+                meta_list = batch.get('meta_data')
+                host_images = {k2: batch[k2] for k2 in ('rgb', 'depth')
+                               if k2 in batch}
+                batch = {k2: v for k2, v in batch.items()
+                         if k2 not in ('meta_data', 'rgb', 'depth', 'flat',
+                                       'snitch', 'cam_RT', 'cam_K')}
                 with timer.phase('h2d'):
                     batch = shard_batch(batch, self.mesh)
             except Exception as e:  # host-side data failure tolerance (train.py:87-94).
@@ -249,6 +279,12 @@ class Trainer:
                     self.state, metrics = self._train_step(self.state, batch, k)
                 else:
                     metrics = self._eval_step(self.state, batch, k)
+
+            if (is_train and self.logger.log_dir is not None
+                    and cur_step % max(self.cfg.viz_interval, 1) == 0):
+                with timer.phase('viz'):
+                    self._export_intermediates(epoch, stage, cur_step, batch,
+                                               host_images, meta_list, k)
 
             if cur_step % 32 == 0:  # host sync for guards + console cadence.
                 with timer.phase('sync'):
@@ -273,6 +309,47 @@ class Trainer:
         timer.report(self.logger, prefix=f'[{stage}] ')
         return metrics_hist
 
+    def _export_intermediates(self, epoch, stage, cur_step, dev_batch, host_images,
+                              meta_list, rng):
+        '''Reference-parity training observability (MyLogger.handle_step,
+        /root/reference/utils/logvis.py:300-417): npy point-cloud exports of
+        input / abstract / target / implicit output / per-layer coordinates,
+        per-channel output histograms, dataset filtering-ratio histograms, and
+        early-epoch RGB-D galleries when images were loaded.'''
+        viz = jax.tree_util.tree_map(np.asarray,
+                                     self._viz_step(self.state, dev_batch, rng))
+        out_pcl = np.concatenate([viz['points_query'][0],
+                                  viz['implicit_output'][0]], axis=-1)  # (T, N, 4+C).
+        tgt_pcl = np.concatenate([viz['points_query'][0],
+                                  viz['implicit_target'][0]], axis=-1)  # (T, N, 10).
+        arrays = dict(pcl_input=np.asarray(dev_batch['pcl_input'][0]),
+                      pcl_abstract=viz['abstract'][0],
+                      pcl_target=np.asarray(dev_batch['pcl_target'][0]),
+                      implicit_output=out_pcl, implicit_target=tgt_pcl)
+        for i, lc in enumerate(viz['layer_coords'] or []):
+            arrays[f'layer_coords_{i}'] = np.asarray(lc[0])
+        self.logger.export_pointclouds(stage, epoch, cur_step, arrays)
+
+        cfg = self.cfg
+        for t in range(viz['implicit_output'].shape[1]):
+            self.logger.report_implicit_histograms(
+                stage, viz['implicit_output'][:, t], cfg.color_mode, t,
+                cfg.segmentation_lw > 0.0, cfg.semantic_classes,
+                cfg.tracking_lw > 0.0, step=epoch)
+        self.logger.report_histogram(f'{stage}/features_global',
+                                     viz['features_global'], step=epoch)
+        self.logger.report_filter_ratios(stage, meta_list, epoch)
+
+        if host_images and epoch < 2 and cur_step == 0:
+            # Early-epoch visual sanity artifacts (logvis.py:300-340 behavior).
+            rgb = np.asarray(host_images['rgb'][0, 0])           # (T, H, W, 3).
+            self.logger.save_gallery(rgb, f'{stage}_rgb_e{epoch}', step=cur_step)
+            self.logger.save_video(rgb, f'{stage}_rgb_e{epoch}', step=cur_step)
+            if 'depth' in host_images:
+                d = np.asarray(host_images['depth'][0, 0])
+                d = d / max(float(d.max()), 1e-6)
+                self.logger.save_gallery(d, f'{stage}_depth_e{epoch}', step=cur_step)
+
     def fit(self, train_loader_fn, val_loader_fn=None, steps_per_epoch=None):
         '''
         :param train_loader_fn: epoch -> iterable of batches.
@@ -290,8 +367,10 @@ def main(cfg: TrainConfig, logger=None):
     '''CLI entry: mirrors /root/reference/train.py:162-365.'''
     from .data import create_train_val_loaders
     logger = logger or StepLogger(
-        log_dir=os.path.join(cfg.log_root, cfg.tag or 'run'),
+        log_dir=os.path.join(cfg.log_root, cfg.tag or cfg.name or 'run'),
         context='train', batch_size=cfg.batch_size)
+    logger.use_wandb = logger.use_wandb or cfg.use_wandb
+    logger.init_wandb('occlusions-4d', cfg)  # /root/reference/train.py:360.
     logger.info(f'Args: {cfg}')
     logger.save_args(cfg)
     np.random.seed(cfg.seed)

@@ -210,22 +210,41 @@ class StepLogger(Logger):
                     total_loss, loss_terms=None, export_arrays=None):
         '''
         :param loss_terms (dict): name -> float loss breakdown.
-        :param export_arrays (dict): name -> numpy array point clouds, exported
-            stochastically early in training (logvis.py:300-380 behavior).
+        :param export_arrays (dict): name -> numpy array point clouds; exported
+            whenever given (the caller controls the cadence, mirroring the
+            reference's `return_intermediate = step % 80 == 0` gating,
+            /root/reference/pipeline.py:92-94 + logvis.py:300-380).
         '''
         if cur_step % self.step_interval == 0:
             terms = '  '.join(f'{k}: {v:.4f}' for k, v in (loss_terms or {}).items()
                               if isinstance(v, float))
             self.info(f'[{stage}] epoch {epoch}  step {cur_step}/{steps_per_epoch}  '
                       f'total_loss: {float(total_loss):.4f}  {terms}')
-        if export_arrays and self.log_dir is not None:
-            # Export probability decays over the epoch (mirrors the reference's
-            # early-epoch bias for visual artifacts).
-            p = 0.1 if cur_step < 64 else 0.01
-            if np.random.rand() < p:
-                for name, arr in export_arrays.items():
-                    self.save_numpy(arr, f'{stage}_{name}_e{epoch}', step=total_step)
-                self.num_exported += 1
+        if export_arrays:
+            self.export_pointclouds(stage, epoch, total_step, export_arrays)
+
+    def export_pointclouds(self, stage, epoch, step, arrays):
+        '''npy export of named point clouds under <log_dir>/numpy
+        (logvis.py:211-237 savers driven by the :300-380 export logic).'''
+        if self.log_dir is None:
+            return []
+        fps = [self.save_numpy(arr, f'{stage}_{name}_e{epoch}', step=step)
+               for name, arr in arrays.items()]
+        self.num_exported += 1
+        return fps
+
+    def report_filter_ratios(self, stage, meta_list, epoch):
+        '''Dataset point-filtering ratio histograms, accumulated over the epoch and
+        committed as histograms (logvis.py:400-417); outliers > 10 are dropped to
+        keep the histogram resolution useful.'''
+        for meta in meta_list or []:
+            for key in ('cuboid_filter_ratios', 'sample_input_ratios',
+                        'sample_target_ratios'):
+                for ratio in np.asarray(meta.get(key, ()), np.float32).flatten():
+                    if ratio <= 10.0:
+                        self.report_scalar(f'{stage}/{key[:-1]}', float(ratio),
+                                           step=epoch, remember=True,
+                                           commit_histogram=True)
 
     def report_implicit_histograms(self, stage, implicit_output, color_mode, time_idx,
                                    predict_segmentation, semantic_classes,

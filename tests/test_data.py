@@ -169,6 +169,25 @@ def test_factory_selects_by_path(greater_root, carla_root):
     assert batch2['pcl_target'].shape[-1] == 11
 
 
+def test_greater_return_images_full_surface(greater_root):
+    '''return_images yields the complete visualization-grade image dict: rgb, depth,
+    flat (preflat instance hues), snitch mask stacks
+    (/root/reference/data/data_greater.py:356-377, 592-614).'''
+    dset = GreaterDataset(greater_root, _logger(), stage='val', video_length=4,
+                          frame_skip=2, n_points_rnd=1024, n_fps_input=256,
+                          n_fps_target=-512, pcl_input_frames=4, pcl_target_frames=2,
+                          return_images=True, seed=4)
+    ex = dset[0]
+    V, T = 3, 4
+    assert ex['rgb'].shape[:2] == (V, T) and ex['rgb'].shape[-1] == 3
+    assert ex['depth'].shape[:2] == (V, T) and ex['depth'].ndim == 4
+    assert ex['flat'].shape == ex['rgb'].shape
+    assert ex['snitch'].shape == ex['rgb'].shape
+    assert ex['snitch'].max() <= 1.0 and ex['snitch'].min() >= 0.0
+    # The synthetic scenes render a real snitch mask; it is non-empty somewhere.
+    assert ex['snitch'].sum() > 0
+
+
 def test_per_example_rng_reproducible(greater_root, carla_root):
     '''Per-(seed, epoch, index) RNG: num_workers=4 epochs are bit-reproducible, and
     the stream advances across epochs (mirrors the reference's seed_worker intent,

@@ -154,6 +154,56 @@ def test_run_test_exports_artifacts(setup, tmp_path):
     assert air.shape[-1] == 5
 
 
+def test_save_metrics_and_store_activations(setup, tmp_path):
+    '''--save_metrics writes metrics.json (scored by evaluate.metrics) and
+    --store_activations exports penultimate decoder activations of predicted-solid
+    queries; both flags change observable outputs (dead in the reference:
+    /root/reference/eval/test.py:73,92,113, args.py:345-348).'''
+    root, cfg, trainer = setup
+    args = _test_cfg(os.path.join(root, 'test'), cfg.output_path, tmp_path,
+                     save_metrics=True, store_activations=True)
+    loaded = load_models(args.resume)
+    backfill_from_train(args, loaded['train_config'])
+
+    from occlusions4d_tpu.data import create_test_loader
+    logger = StepLogger(log_dir=str(tmp_path / 'logs'), context='test')
+    data_kind, loader = create_test_loader(args, dict(loaded['dset_args']), logger)
+    engine = InferenceEngine(loaded, color_mode=args.color_mode,
+                             predict_segmentation=False,
+                             semantic_classes=args.semantic_classes,
+                             track_mode='none',
+                             implicit_batch_size=args.implicit_batch_size,
+                             query_parallel=1, store_activations=True)
+
+    class OneStep:
+        def epoch(self, e):
+            for batch in loader.epoch(e):
+                yield batch
+                break
+
+    summary = run_test(args, engine, data_kind, OneStep(), logger)
+    out_dir = os.path.join(str(tmp_path / 'logs'), 'test_' + args.test_tag)
+    files = os.listdir(out_dir)
+
+    assert 'metrics.json' in files
+    import json
+    with open(os.path.join(out_dir, 'metrics.json')) as f:
+        saved = json.load(f)
+    assert saved['mean'] == {k: v for k, v in summary['mean'].items()}
+    for key in ('occupancy_precision', 'occupancy_recall', 'occupancy_iou',
+                'chamfer'):
+        assert key in saved['mean'], (key, saved['mean'])
+    assert len(saved['per_frame']) == 2
+
+    assert 'activations_s0.p' in files
+    with open(os.path.join(out_dir, 'activations_s0.p'), 'rb') as f:
+        acts = pickle.load(f)
+    assert len(acts) == 2                       # one per predicted frame.
+    d_hidden = trainer.decoder_args['d_hidden']
+    assert acts[0].shape[-1] == d_hidden
+    assert acts[0].dtype == np.float16
+
+
 def test_load_reference_pth_checkpoint(setup, tmp_path):
     '''Write a reference-layout torch .pth via the export bridge and load it.'''
     import torch

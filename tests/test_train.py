@@ -157,6 +157,35 @@ def test_data_parallel_sharded_step(greater_root):
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_training_observability_exports(greater_root, tmp_path):
+    '''A tiny training run leaves npy point-cloud exports (input / abstract /
+    implicit output / layer coords), filter-ratio scalars, and early-epoch RGB
+    galleries behind -- the reference's MyLogger.handle_step surface
+    (/root/reference/utils/logvis.py:300-417, pipeline.py:92-94).'''
+    import os
+    from occlusions4d_tpu.utils.logvis import StepLogger
+    cfg = _tiny_cfg(greater_root, export_visuals=True, viz_interval=2)
+    logger = StepLogger(log_dir=str(tmp_path), context='train',
+                        batch_size=cfg.batch_size)
+    kind, train_loader, _, _ = create_train_val_loaders(cfg, logger)
+    trainer = Trainer(cfg, kind, logger=logger)
+    batches = [b for _, b in zip(range(2), train_loader.epoch(0))]
+    assert 'rgb' in batches[0] and 'snitch' in batches[0]  # export_visuals plumbed.
+    trainer.init_state(batches[0], steps_per_epoch=2)
+    trainer.run_epoch(0, 'train', iter(batches), num_steps=2)
+
+    npys = os.listdir(tmp_path / 'numpy')
+    for name in ('pcl_input', 'pcl_abstract', 'pcl_target', 'implicit_output',
+                 'layer_coords_0'):
+        assert any(name in f for f in npys), (name, npys)
+    visuals = os.listdir(tmp_path / 'visuals')
+    assert any('rgb' in f and f.endswith('.png') for f in visuals)
+    assert any('depth' in f and f.endswith('.png') for f in visuals)
+    scalars = logger.commit_scalars()
+    assert any('cuboid_filter_ratio' in k for k in scalars), scalars
+    assert any('sample_input_ratio' in k for k in scalars), scalars
+
+
 def test_optimizer_schedule_milestones():
     from occlusions4d_tpu.train import build_optimizer
     cfg = TrainConfig(num_epochs=20, learn_rate=1e-3, lr_decay=0.4)
