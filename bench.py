@@ -24,6 +24,48 @@ def _sync(x):
     return float(np.asarray(x.ravel()[0]))
 
 
+def _time_train_step(cfg, n_points, batch_size=1, steps=3, trials=2):
+    '''One-chip jitted train-step latency (ms) at the given point budget:
+    full pipeline - encoder, guided sampler, decoder, losses, AdamW update
+    (VERDICT r1 item 6: driver-witnessed version of the README train numbers).'''
+    import dataclasses
+    import jax
+    from occlusions4d_tpu.train import Trainer
+    from occlusions4d_tpu.parallel import make_mesh, shard_batch
+
+    cfg = dataclasses.replace(cfg, n_points=n_points, batch_size=batch_size,
+                              data_parallel=1, output_path='')
+    rng = np.random.RandomState(1)
+    B, N = batch_size, n_points
+    T = cfg.past_frames + cfg.future_frames
+    M = 2 * n_points  # GREATER target budget (data.py:83 semantics).
+    tgt = np.zeros((B, T, M, 9), np.float32)
+    tgt[..., :3] = rng.rand(B, T, M, 3) * 6.0 - 3.0
+    tgt[..., 2] = np.abs(tgt[..., 2])
+    tgt[..., 5:8] = rng.rand(B, T, M, 3)
+    batch = dict(
+        pcl_input=(rng.rand(B, N, 8) * 2 - 1).astype(np.float32),
+        pcl_target=tgt, pcl_target_valid=np.ones((B, T, M), bool),
+        valo_ids=np.zeros((B, 32), np.int32),
+        num_valo_ids=np.zeros((B,), np.int32))
+
+    mesh = make_mesh(1)
+    trainer = Trainer(cfg, 'greater', mesh=mesh)
+    trainer.init_state(batch, steps_per_epoch=100)
+    sharded = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(0)
+    state, m = trainer._train_step(trainer.state, sharded, key)  # compile.
+    _sync(m['total_loss'])
+    best = float('inf')
+    for _ in range(trials):
+        t0 = time.time()
+        for _ in range(steps):
+            state, m = trainer._train_step(state, sharded, key)
+        _sync(m['total_loss'])
+        best = min(best, (time.time() - t0) / steps)
+    return best * 1000.0
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -100,6 +142,11 @@ def main():
     scene_s = min(scene_trials)
     qps_chip = n_queries / scene_s / n_chips
 
+    # Train-step latency (driver-witnessed README numbers): gv1 scale and the
+    # BASELINE.json scale-out config n_points=57344, one chip, f32, B=1.
+    train_gv1_ms = _time_train_step(cfg, n_points=14336)
+    train_57k_ms = _time_train_step(cfg, n_points=57344)
+
     result = {
         'metric': 'dense_scene_524288_grid_queries_latency',
         'value': round(scene_s * 1000.0, 1),
@@ -111,6 +158,8 @@ def main():
             'n_chips': n_chips,
             'actual_grid_queries': int(n_queries),
             'implicit_batch_size': 32768,
+            'train_step_ms_gv1_b1_f32': round(train_gv1_ms, 1),
+            'train_step_ms_n57344_b1_f32': round(train_57k_ms, 1),
             'output_checksum': float(jnp.mean(out)),  # device-side reduce.
         },
     }

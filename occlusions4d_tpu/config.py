@@ -148,6 +148,9 @@ class TestConfig(SharedConfig):
     use_json: bool = False
     live_occl_mode: str = 'normal'
     query_parallel: int = -1      # shard dense queries across chips; -1 = all.
+    # Eval numerics: 'fast' (fused bf16 kernels), 'f32' (XLA default precision),
+    # 'highest' (true-f32 dots, parity oracle), 'auto' = fast on TPU.
+    eval_precision: str = 'auto'
     tag: str = ''
     test_tag: str = ''
     train_tag: str = ''
@@ -200,6 +203,7 @@ def verify_args(args, is_train=False):
         assert args.color_mode in ('rgb', 'rgb_nosigmoid', 'hsv', 'bins')
     else:
         assert args.point_sample_mode in ('random', 'grid')
+        assert args.eval_precision in ('auto', 'fast', 'f32', 'highest')
     return args
 
 

@@ -118,13 +118,26 @@ class InferenceEngine:
 
     def __init__(self, loaded, color_mode, predict_segmentation, semantic_classes,
                  track_mode='none', implicit_batch_size=65536, mesh=None,
-                 query_parallel=-1, fused_decode=None, store_activations=False):
+                 query_parallel=-1, fused_decode=None, store_activations=False,
+                 precision='auto'):
         '''
-        :param fused_decode (bool or None): run the decoder through the fused
-            Pallas cross-attention path (models/fused.py; 2.6x faster per chunk).
-            None auto-enables on TPU for supported configurations. Numerics are
-            bf16-MXU grade, the same class as the XLA path's default-precision
-            dots (exact-f32 parity is asserted in interpreter mode by tests).
+        :param precision (str): eval numerics / speed trade-off.
+            'fast'    - fused Pallas decode with bf16 kernel compute.
+            'f32'     - flax module path, XLA default matmul precision (what
+                        "f32 eval" means on TPU without precision overrides).
+            'highest' - flax module path with HIGHEST matmul precision: true
+                        f32 dots, the parity-grade oracle matching the
+                        reference's f32 GPU eval (eval/inference.py:203-246).
+            'auto'    - 'fast' on TPU when the config is fused-supported,
+                        else 'f32'.
+            Measured at the reference workload (534528 grid queries, gv1 scale,
+            random-init worst case, v5e chip): 'fast' flips 0.204% of densities
+            across threshold 0.5 vs the 'highest' oracle, while 'f32' itself
+            flips 0.194% -- the flip rate is set by XLA's default-precision
+            dots, not by bf16; all flips lie within |p-0.5| <= 0.017. Latency
+            387 / 1127 / 1872 ms for fast / f32 / highest.
+        :param fused_decode (bool or None): legacy override; True = 'fast',
+            False = 'f32'. None defers to `precision`.
         :param store_activations (bool): also return the decoder's penultimate
             activations from decode_all (float16), for offline attention /
             emergence-of-tracking analysis (--store_activations; the reference
@@ -147,18 +160,35 @@ class InferenceEngine:
         self._query_sharding = NamedSharding(self.mesh, P(None, 'dp', None))
 
         enc, dec = self.encoder, self.decoder
-        if fused_decode is None:
-            fused_decode = (jax.default_backend() == 'tpu'
-                            and supports_fused(dec))
-        self.fused_decode = fused_decode
+        if fused_decode is not None:
+            precision = 'fast' if fused_decode else 'f32'
+        if precision == 'auto':
+            precision = ('fast' if (jax.default_backend() == 'tpu'
+                                    and supports_fused(dec)) else 'f32')
+        if precision == 'fast' and not supports_fused(dec):
+            precision = 'f32'
+        assert precision in ('fast', 'f32', 'highest'), precision
+        self.precision = precision
+        self.fused_decode = precision == 'fast'
         self.store_activations = store_activations
-        self._encode = jax.jit(lambda p, x: enc.apply(p, x))
+        mm_prec = 'highest' if precision == 'highest' else None
+
+        def _with_precision(f):
+            def wrapped(*args):
+                if mm_prec is None:
+                    return f(*args)
+                with jax.default_matmul_precision(mm_prec):
+                    return f(*args)
+            return wrapped
+
+        self._encode = jax.jit(_with_precision(lambda p, x: enc.apply(p, x)))
         tm = track_mode
 
+        @_with_precision
         def _decode(p, q, abstract, fg):
             if self.fused_decode:
-                # bf16 MXU passes: the same numeric class as the XLA path's
-                # default-precision dots, at 4x the kernel throughput.
+                # bf16 MXU passes: the same flip rate vs the true-f32 oracle
+                # as the XLA path's default-precision dots (see __init__ doc).
                 out, penult = fused_field_apply(dec, p, q, abstract, fg,
                                                 compute_dtype=jnp.bfloat16)
             else:

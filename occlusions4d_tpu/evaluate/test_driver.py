@@ -164,7 +164,8 @@ def main(args: TestConfig, logger=None):
         semantic_classes=args.semantic_classes, track_mode=args.track_mode,
         implicit_batch_size=args.implicit_batch_size,
         query_parallel=args.query_parallel,
-        store_activations=args.store_activations)
+        store_activations=args.store_activations,
+        precision=args.eval_precision)
 
     logger.use_wandb = logger.use_wandb or args.use_wandb
     logger.init_wandb('occlusions-4d_test', args)  # /root/reference/eval/test.py:208.
