@@ -13,10 +13,27 @@ import os
 
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags = (flags + ' --xla_force_host_platform_device_count=8').strip()
+if '--xla_backend_optimization_level' not in flags:
+    # Tests are compile-dominated (1-CPU host, tiny tensors): skipping XLA's
+    # backend optimization pipeline roughly halves suite wall-clock with
+    # identical results (execution time is negligible at test scales).
+    flags = (flags + ' --xla_backend_optimization_level=0').strip()
+os.environ['XLA_FLAGS'] = flags
 os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ.setdefault('JAX_ENABLE_X64', '0')
 
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+# Persistent compilation cache: several tests build structurally identical tiny
+# trainers (fresh closures -> fresh jit caches), so XLA would recompile the same
+# HLO repeatedly on this 1-CPU host. The on-disk cache dedupes those within a run
+# and across runs (suite wall-clock drops ~2x warm; see VERDICT r1 item 10).
+_cache_dir = os.environ.get('O4D_TEST_CACHE',
+                            os.path.expanduser('~/.cache/o4d_jax_test_cache'))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)

@@ -94,8 +94,9 @@ def test_degenerate_frame_zero_loss_contribution(trained):
     rng = jax.random.PRNGKey(3)
     params = trainer.state['params']
     to_dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
-    losses_a, aux_a = trainer.pipeline.forward(params, to_dev(base), rng)
-    losses_b, aux_b = trainer.pipeline.forward(params, to_dev(alt), rng)
+    fwd = jax.jit(trainer.pipeline.forward)  # one compile, both calls share it.
+    losses_a, aux_a = fwd(params, to_dev(base), rng)
+    losses_b, aux_b = fwd(params, to_dev(alt), rng)
 
     assert not bool(aux_a['sample_ok'])
     assert float(aux_a['sample_ok_frac']) == pytest.approx(0.5)
