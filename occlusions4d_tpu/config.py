@@ -122,6 +122,9 @@ class TrainConfig(SharedConfig):
     # TPU-native additions (not in the reference).
     data_parallel: int = -1       # chips for batch sharding; -1 = all local devices.
     query_parallel: int = 1       # chips for query-axis sharding at eval.
+    # Fused Pallas decoder (fwd + custom-VJP bwd kernels) for the train step:
+    # 'auto' = on for TPU backends on supported configs, 'on', 'off'.
+    fused_decoder: str = 'auto'
     export_visuals: bool = False  # load images for early-epoch gallery exports.
     viz_interval: int = 80        # intermediate-export cadence (pipeline.py:92-94).
     tag: str = ''
@@ -201,6 +204,7 @@ def verify_args(args, is_train=False):
         assert args.future_frames < args.video_len
         assert args.local_implicit_mode in ('none', 'feature', 'attention')
         assert args.color_mode in ('rgb', 'rgb_nosigmoid', 'hsv', 'bins')
+        assert args.fused_decoder in ('auto', 'on', 'off')
     else:
         assert args.point_sample_mode in ('random', 'grid')
         assert args.eval_precision in ('auto', 'fast', 'f32', 'highest')

@@ -41,12 +41,17 @@ def _mm(a, b, cd):
     # Mosaic's default f32 dot executes as a single bf16 MXU pass; request the
     # 3-pass decomposition when true f32 fidelity is asked for. Operands already
     # in the compute dtype (pre-cast on the host side) skip the VPU cast.
+    return _mm2(a, b, ((1,), (0,)), cd)
+
+
+def _mm2(a, b, dims, cd):
+    '''dot_general with both operands cast to the compute dtype, f32 accumulate.
+    `dims` selects the contraction axes (transpose matmuls in the backward).'''
     prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
             else jax.lax.Precision.DEFAULT)
     a = a if a.dtype == cd else a.astype(cd)
     b = b if b.dtype == cd else b.astype(cd)
-    return jax.lax.dot_general(a, b,
-                               dimension_numbers=(((1,), (0,)), ((), ())),
+    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=prec)
 
@@ -178,6 +183,243 @@ def _attn_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba
     return out
 
 
+def _attn_bwd_kernel(qpos_ref, qproj_ref, kpos_ref, kvp_ref, kn_ref,
+                     wp1_ref, bp1_ref, wp2_ref, bp2_ref,
+                     wa1_ref, ba1_ref, wa2_ref, ba2_ref, g_ref,
+                     dqproj_ref, dkv_ref,
+                     dwp1_ref, dbp1_ref, dwp2_ref, dbp2_ref,
+                     dwa1_ref, dba1_ref, dwa2_ref, dba2_ref,
+                     *, k, dim, compute_dtype):
+    '''
+    Backward of _attn_kernel (flash-attention-style: recompute forward per query
+    tile, then chain gradients without materializing (N, K, D) tensors in HBM).
+
+    Gradient surface matches the module path's autodiff exactly where gradients
+    are live: d(q_proj), d(k_all), d(v_all) (scattered to keys via the transposed
+    one-hot matmul), and the theta/gamma MLP weights. Positions carry no gradient
+    (the module stop-gradients the kNN graph and coordinate deltas,
+    models/layers.py:89-93), so dqpos/dkpos are identically zero and not output.
+
+    All K neighbors are processed in one pass ((K*T, .) row stacks): unlike the
+    forward's online softmax, the backward needs every neighbor's logits at once,
+    and the full-K tensors fit VMEM at the decode shapes (~25 MB bf16 at K=14,
+    T=128). Accumulator outputs (dkv, weight grads) are revisited across grid
+    steps ('arbitrary' sequential grid), initialized on the first visit.
+    '''
+    (_, T, _) = qpos_ref.shape
+    (_, M, _) = kpos_ref.shape
+    cd = compute_dtype
+    b_idx = pl.program_id(0)
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _init_dkv():
+        dkv_ref[0] = jnp.zeros_like(dkv_ref[0])
+
+    @pl.when(jnp.logical_and(b_idx == 0, t_idx == 0))
+    def _init_weight_grads():
+        dwp1_ref[:] = jnp.zeros_like(dwp1_ref)
+        dbp1_ref[:] = jnp.zeros_like(dbp1_ref)
+        dwp2_ref[:] = jnp.zeros_like(dwp2_ref)
+        dbp2_ref[:] = jnp.zeros_like(dbp2_ref)
+        dwa1_ref[:] = jnp.zeros_like(dwa1_ref)
+        dba1_ref[:] = jnp.zeros_like(dba1_ref)
+        dwa2_ref[:] = jnp.zeros_like(dwa2_ref)
+        dba2_ref[:] = jnp.zeros_like(dba2_ref)
+
+    qpos = qpos_ref[0]                                             # (T, 3) f32.
+    qproj = qproj_ref[0]                                           # (T, D).
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
+    inv_sqrt_d = 1.0 / jnp.sqrt(jnp.float32(dim))
+
+    # ---- Recompute forward (full-K row stacks, k-major along axis 0) ----
+    prod = jax.lax.dot_general(
+        qpos, kpos_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                       # (T, M).
+    d = kn_ref[0] - 2.0 * prod
+    onehots = []
+    for _j in range(k):
+        m = jnp.min(d, axis=1, keepdims=True)
+        idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1, keepdims=True)
+        d = jnp.where(col == idx, jnp.inf, d)
+        onehots.append((col == idx).astype(cd))
+    G = jnp.concatenate(onehots, axis=0)                           # (K*T, M).
+
+    def tile_k(x):  # (T, C) -> (K*T, C).
+        return jnp.concatenate([x] * k, axis=0)
+
+    qpos_g = tile_k(qpos)
+    qproj_g = tile_k(qproj)
+    g_all = _mm(G, kvp_ref[0], cd)                                 # (K*T, 2D+3).
+    k_g = g_all[:, :dim]
+    v_g = g_all[:, dim:2 * dim]
+    p_g = g_all[:, 2 * dim:2 * dim + 3]
+
+    rel = qpos_g - p_g                                             # (K*T, 3).
+    ph_pre = _mm(rel, wp1_ref[:], cd) + bp1_ref[:]
+    ph = jnp.maximum(ph_pre, 0.0)                                  # (K*T, P).
+    pe = _mm(ph, wp2_ref[:], cd) + bp2_ref[:]                      # (K*T, D).
+
+    hpre = qproj_g - k_g + pe                                      # (K*T, D).
+    h1 = _mm(hpre, wa1_ref[:], cd) + ba1_ref[:]                    # (K*T, H).
+    h1r = jnp.maximum(h1, 0.0)
+    lg = (_mm(h1r, wa2_ref[:], cd) + ba2_ref[:]) * inv_sqrt_d      # (K*T, D) f32.
+
+    # Plain (non-online) softmax over the K axis, per channel.
+    mx = lg[:T]
+    for j in range(1, k):
+        mx = jnp.maximum(mx, lg[j * T:(j + 1) * T])
+    e = jnp.exp(lg - tile_k(mx))                                   # (K*T, D).
+    den = e[:T]
+    for j in range(1, k):
+        den = den + e[j * T:(j + 1) * T]
+    a = e / tile_k(den)                                            # (K*T, D) f32.
+
+    # ---- Chain gradients ----
+    g_out = g_ref[0].astype(jnp.float32)                           # (T, D).
+    g_g = tile_k(g_out)
+    dvpe = a * g_g                                                 # d(v + pe).
+    da = g_g * (v_g.astype(jnp.float32) + pe.astype(jnp.float32))
+    s = (a * da)[:T]
+    for j in range(1, k):
+        s = s + (a * da)[j * T:(j + 1) * T]
+    dmlp = a * (da - tile_k(s)) * inv_sqrt_d                       # (K*T, D).
+
+    dwa2_ref[:] += _mm2(h1r, dmlp, ((0,), (0,)), cd)               # (H, D).
+    dba2_ref[:] += jnp.sum(dmlp, axis=0, keepdims=True)
+    dh1 = _mm2(dmlp, wa2_ref[:], ((1,), (1,)), cd)                 # (K*T, H).
+    dh1 = jnp.where(h1 > 0, dh1, 0.0)
+
+    dwa1_ref[:] += _mm2(hpre, dh1, ((0,), (0,)), cd)               # (D, H).
+    dba1_ref[:] += jnp.sum(dh1, axis=0, keepdims=True)
+    dhpre = _mm2(dh1, wa1_ref[:], ((1,), (1,)), cd)                # (K*T, D).
+
+    dq = dhpre[:T]
+    for j in range(1, k):
+        dq = dq + dhpre[j * T:(j + 1) * T]
+    dqproj_ref[0] = dq                                             # (T, D) f32.
+
+    dpe = dhpre + dvpe                                             # (K*T, D).
+    dwp2_ref[:] += _mm2(ph, dpe, ((0,), (0,)), cd)                 # (P, D).
+    dbp2_ref[:] += jnp.sum(dpe, axis=0, keepdims=True)
+    dph = _mm2(dpe, wp2_ref[:], ((1,), (1,)), cd)                  # (K*T, P).
+    dph = jnp.where(ph_pre > 0, dph, 0.0)
+    dwp1_ref[:] += _mm2(rel, dph, ((0,), (0,)), cd)                # (3, P).
+    dbp1_ref[:] += jnp.sum(dph, axis=0, keepdims=True)
+
+    # Scatter key/value grads through the transposed one-hot: dk rows = -dhpre
+    # (from q - k + pe), dv rows = dvpe.
+    dkv_rows = jnp.concatenate([-dhpre, dvpe], axis=-1)            # (K*T, 2D).
+    dkv_ref[0] += _mm2(G, dkv_rows, ((0,), (0,)), cd)              # (M, 2D).
+
+
+@functools.partial(jax.jit, static_argnames=('k', 'dim', 'tile_n',
+                                              'compute_dtype', 'interpret'))
+def _attn_bwd_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1,
+                   wa2, ba2, g, k, dim, tile_n, compute_dtype, interpret):
+    (B, N_pad, _) = qpos.shape
+    (_, M_pad, _) = kpos.shape
+    (P,) = (wp1.shape[1],)
+    H = wa1.shape[1]
+    kern = functools.partial(_attn_bwd_kernel, k=k, dim=dim,
+                             compute_dtype=compute_dtype)
+    grid = (B, N_pad // tile_n)
+
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_pad, 2 * dim + 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec(wp1.shape), w_spec(bp1.shape), w_spec(wp2.shape),
+            w_spec(bp2.shape), w_spec(wa1.shape), w_spec(ba1.shape),
+            w_spec(wa2.shape), w_spec(ba2.shape),
+            pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_pad, 2 * dim), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec((3, P)), w_spec((1, P)), w_spec((P, dim)), w_spec((1, dim)),
+            w_spec((dim, H)), w_spec((1, H)), w_spec((H, dim)), w_spec((1, dim)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N_pad, dim), f32),
+            jax.ShapeDtypeStruct((B, M_pad, 2 * dim), f32),
+            jax.ShapeDtypeStruct((3, P), f32),
+            jax.ShapeDtypeStruct((1, P), f32),
+            jax.ShapeDtypeStruct((P, dim), f32),
+            jax.ShapeDtypeStruct((1, dim), f32),
+            jax.ShapeDtypeStruct((dim, H), f32),
+            jax.ShapeDtypeStruct((1, H), f32),
+            jax.ShapeDtypeStruct((H, dim), f32),
+            jax.ShapeDtypeStruct((1, dim), f32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2, g)
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18))
+def _attn_flat(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2,
+               ba2, k, dim, tile_n, group, compute_dtype, interpret):
+    '''Differentiable fused attention over the padded/flattened operands.
+    Forward is the online-softmax kernel; backward is _attn_bwd_kernel. The
+    gradient surface (qproj, kvp's k/v columns, MLP weights; zero for
+    positions/kn) matches the module path's autodiff semantics.'''
+    return _attn_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1,
+                      wa2, ba2, k, dim, tile_n, group, compute_dtype, interpret)
+
+
+def _attn_flat_fwd(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1,
+                   wa2, ba2, k, dim, tile_n, group, compute_dtype, interpret):
+    out = _attn_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1,
+                     wa2, ba2, k, dim, tile_n, group, compute_dtype, interpret)
+    res = (qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2)
+    return out, res
+
+
+def _attn_flat_bwd(k, dim, tile_n, group, compute_dtype, interpret, res, g):
+    (qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2) = res
+    # Backward tiles full-K rows in VMEM; shrink the tile at large K to fit.
+    bwd_tile = tile_n if k <= 16 else max(tile_n // 2, _LANES)
+    bwd_tile = min(bwd_tile, qpos.shape[1])
+    (dqproj, dkv, dwp1, dbp1, dwp2, dbp2, dwa1, dba1, dwa2, dba2) = \
+        _attn_bwd_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1,
+                       ba1, wa2, ba2, jnp.asarray(g, jnp.float32), k, dim,
+                       bwd_tile, compute_dtype, interpret)
+    # kvp = [k_all | v_all | pos2]: positions carry no gradient.
+    dkvp = jnp.concatenate(
+        [dkv, jnp.zeros(kvp.shape[:2] + (3,), dkv.dtype)], axis=-1)
+    zeros = lambda x: jnp.zeros(x.shape, x.dtype)
+    return (zeros(qpos), dqproj.astype(qproj.dtype), zeros(kpos),
+            dkvp.astype(kvp.dtype), zeros(kn),
+            dwp1.astype(wp1.dtype), dbp1.astype(bp1.dtype),
+            dwp2.astype(wp2.dtype), dbp2.astype(bp2.dtype),
+            dwa1.astype(wa1.dtype), dba1.astype(ba1.dtype),
+            dwa2.astype(wa2.dtype), dba2.astype(ba2.dtype))
+
+
+_attn_flat.defvjp(_attn_flat_fwd, _attn_flat_bwd)
+
+
 def _interp_kernel(qpos_ref, kpos_ref, feats_ref, kn_ref, out_ref,
                    *, k, group, eps, compute_dtype):
     '''
@@ -257,6 +499,110 @@ def _interp_call(qpos, kpos, feats, kn, k, tile_n, group, eps, compute_dtype,
     return out
 
 
+def _interp_bwd_kernel(qpos_ref, kpos_ref, feats_ref, kn_ref, g_ref, dfeats_ref,
+                       *, k, eps, compute_dtype):
+    '''Backward of _interp_kernel w.r.t. the key features only: the inverse-
+    distance weights are functions of (stop-gradient) positions, matching the
+    module path (models/implicit.py:218-224, kNN inputs stop-gradient there).
+    dfeats_j += sum_n [j in kNN(n)] * (w_nj / den_n) * g_n, scattered through
+    the transposed one-hot matmul. Accumulated across query tiles.'''
+    (_, T, _) = qpos_ref.shape
+    (_, M, _) = kpos_ref.shape
+    cd = compute_dtype
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _init():
+        dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
+
+    qpos = qpos_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
+    prod = jax.lax.dot_general(
+        qpos, kpos_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    qn = jnp.sum(jnp.square(qpos), axis=-1, keepdims=True)
+    d = kn_ref[0] - 2.0 * prod
+
+    onehots, ws = [], []
+    for _j in range(k):
+        m = jnp.min(d, axis=1, keepdims=True)
+        idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1, keepdims=True)
+        d = jnp.where(col == idx, jnp.inf, d)
+        onehots.append((col == idx).astype(cd))
+        ws.append(1.0 / (jnp.sqrt(jnp.maximum(m + qn, 0.0)) + eps))    # (T, 1).
+    den = ws[0]
+    for j in range(1, k):
+        den = den + ws[j]
+
+    g = g_ref[0].astype(jnp.float32)                                   # (T, E).
+    G = jnp.concatenate(onehots, axis=0)                               # (K*T, M).
+    rows = jnp.concatenate([(w / den) * g for w in ws], axis=0)        # (K*T, E).
+    dfeats_ref[0] += jax.lax.dot_general(
+        G, rows.astype(cd), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                            # (M, E).
+
+
+@functools.partial(jax.jit, static_argnames=('k', 'tile_n', 'eps',
+                                              'compute_dtype', 'interpret'))
+def _interp_bwd_call(qpos, kpos, feats, kn, g, k, tile_n, eps, compute_dtype,
+                     interpret):
+    (B, N_pad, _) = qpos.shape
+    (_, M_pad, _) = kpos.shape
+    E = feats.shape[-1]
+    kern = functools.partial(_interp_bwd_kernel, k=k, eps=eps,
+                             compute_dtype=compute_dtype)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, N_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_pad, E), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, E), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, M_pad, E), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M_pad, E), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(qpos, kpos, feats, kn, g)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _interp_flat(qpos, kpos, feats, kn, k, tile_n, group, eps_cd, interpret):
+    eps, compute_dtype = eps_cd
+    return _interp_call(qpos, kpos, feats, kn, k, tile_n, group, eps,
+                        compute_dtype, interpret)
+
+
+def _interp_flat_fwd(qpos, kpos, feats, kn, k, tile_n, group, eps_cd, interpret):
+    eps, compute_dtype = eps_cd
+    out = _interp_call(qpos, kpos, feats, kn, k, tile_n, group, eps,
+                       compute_dtype, interpret)
+    return out, (qpos, kpos, feats, kn)
+
+
+def _interp_flat_bwd(k, tile_n, group, eps_cd, interpret, res, g):
+    (qpos, kpos, feats, kn) = res
+    eps, compute_dtype = eps_cd
+    dfeats = _interp_bwd_call(qpos, kpos, feats, kn,
+                              jnp.asarray(g, jnp.float32), k, tile_n, eps,
+                              compute_dtype, interpret)
+    zeros = lambda x: jnp.zeros(x.shape, x.dtype)
+    return (zeros(qpos), zeros(kpos), dfeats.astype(feats.dtype), zeros(kn))
+
+
+_interp_flat.defvjp(_interp_flat_fwd, _interp_flat_bwd)
+
+
 def fused_knn_interp(q_pos, pos2, feats, k, *, eps=1e-4, key_mask=None,
                      tile_n=128, group=4, compute_dtype=jnp.float32):
     '''
@@ -289,8 +635,8 @@ def fused_knn_interp(q_pos, pos2, feats, k, *, eps=1e-4, key_mask=None,
     kn = jnp.where(in_play, kn, jnp.inf)[:, None, :]
 
     interpret = jax.default_backend() != 'tpu'
-    out = _interp_call(q_pos_p, kpos_p, feats_p, kn, int(k), int(tile_n),
-                       int(group), float(eps), compute_dtype, interpret)
+    out = _interp_flat(q_pos_p, kpos_p, feats_p, kn, int(k), int(tile_n),
+                       int(group), (float(eps), compute_dtype), interpret)
     return out[:, :N]
 
 
@@ -352,7 +698,7 @@ def fused_knn_vector_attention(q_proj, q_pos, k_all, v_all, pos2, params, k,
     wa2, ba2 = wb('attn_mlp_2')
 
     interpret = jax.default_backend() != 'tpu'
-    out = _attn_call(q_pos_p, q_proj_p, kpos_p, kvp, kn, wp1, bp1, wp2, bp2,
+    out = _attn_flat(q_pos_p, q_proj_p, kpos_p, kvp, kn, wp1, bp1, wp2, bp2,
                      wa1, ba1, wa2, ba2, int(k), int(dim), int(tile_n),
                      int(group), compute_dtype, interpret)
     return out[:, :N]

@@ -65,18 +65,45 @@ class TrainPipeline:
     '''Pure-function training forward. Construct once; call .loss / .forward in jit.'''
 
     def __init__(self, encoder, decoder, sampler_cfg: SamplerConfig,
-                 cfg: PipelineConfig, remat=True):
+                 cfg: PipelineConfig, remat=True, fused_decoder='auto'):
+        '''
+        :param fused_decoder ('auto'|'on'|'off'): run the per-frame field
+            evaluation through the fused Pallas kernels with their custom-VJP
+            backward kernels (ops/pallas_attention.py) instead of the XLA
+            module path. The decoder's XLA fwd+bwd is 63% of the gv1 train
+            step; the fused kernels recompute flash-attention-style per query
+            tile, so the (N, K, D) neighbor tensors never reach HBM in either
+            direction. 'auto' = on for TPU backends when the configuration is
+            covered (supports_fused). Gradient parity vs the module path is
+            asserted by tests/test_pallas_ops.py::test_fused_field_grads_*.
+        '''
+        from .models.fused import fused_field_apply, supports_fused
         self.encoder = encoder
         self.decoder = decoder
         self.sampler = GuidedPointSampler(sampler_cfg)
         self.cfg = cfg
-        # Rematerialize each frame's field evaluation in the backward pass: the
-        # decoder's (N, K, D) attention intermediates across past_frames frames
-        # are the peak-memory driver (a gv1 step otherwise needs ~23 GB, past
-        # the 16 GB v5e HBM; the reference needed 48 GB across 3 GPUs for the
-        # same reason, /root/reference/README.md:46).
-        dec_fwd = lambda p, q, a, g: self.decoder.apply(p, q, a, g)[0]
-        self._decode_frame = jax.checkpoint(dec_fwd) if remat else dec_fwd
+        use_fused = (fused_decoder == 'on'
+                     or (fused_decoder == 'auto'
+                         and jax.default_backend() == 'tpu'))
+        use_fused = use_fused and supports_fused(decoder)
+        self.fused_decoder = use_fused
+        if use_fused:
+            cd = (jnp.bfloat16 if jax.default_backend() == 'tpu'
+                  else jnp.float32)
+            # No outer remat: the custom backward kernels recompute the
+            # forward per query tile internally (VMEM-bounded), and the saved
+            # residuals are just the kernel inputs.
+            self._decode_frame = lambda p, q, a, g: fused_field_apply(
+                decoder, p, q, a, g, compute_dtype=cd)[0]
+        else:
+            # Rematerialize each frame's field evaluation in the backward pass:
+            # the decoder's (N, K, D) attention intermediates across
+            # past_frames frames are the peak-memory driver (a gv1 step
+            # otherwise needs ~23 GB, past the 16 GB v5e HBM; the reference
+            # needed 48 GB across 3 GPUs for the same reason,
+            # /root/reference/README.md:46).
+            dec_fwd = lambda p, q, a, g: self.decoder.apply(p, q, a, g)[0]
+            self._decode_frame = jax.checkpoint(dec_fwd) if remat else dec_fwd
 
     def forward(self, params, batch, rng, return_intermediate=False):
         '''

@@ -179,7 +179,8 @@ class Trainer:
             density_lw=cfg.density_lw, color_lw=cfg.color_lw,
             segmentation_lw=cfg.segmentation_lw, tracking_lw=cfg.tracking_lw)
         self.pipeline = TrainPipeline(self.encoder, self.decoder,
-                                      SamplerConfig(**self.sampler_args), pipe_cfg)
+                                      SamplerConfig(**self.sampler_args), pipe_cfg,
+                                      fused_decoder=cfg.fused_decoder)
         self.state = None
         self._train_step = None
         self._eval_step = None

@@ -171,3 +171,108 @@ def test_fused_kernels_bf16_close_to_f32(rng):
                                       compute_dtype=jnp.bfloat16))
     rel = np.abs(i16 - i32).max() / (np.abs(i32).max() + 1e-9)
     assert rel < 3e-2, rel
+
+
+def test_fused_attention_grads_match_module(rng):
+    '''Custom-VJP backward kernel: gradients through fused_knn_vector_attention
+    match jax autodiff through the module path for every live input (x, x2 via
+    to_q/k/v, theta/gamma MLP weights). Positions are stop-gradient in both.'''
+    import jax
+    import jax.numpy as jnp
+    from occlusions4d_tpu.models.layers import VectorAttention
+    from occlusions4d_tpu.ops.pallas_attention import fused_knn_vector_attention
+
+    N, M, D, D2, K = 96, 50, 32, 24, 6
+    x = jnp.asarray(rng.rand(1, N, D).astype(np.float32) - 0.5)
+    pos = jnp.asarray(rng.rand(1, N, 3).astype(np.float32) * 2 - 1)
+    x2 = jnp.asarray(rng.rand(1, M, D2).astype(np.float32) - 0.5)
+    pos2 = jnp.asarray(rng.rand(1, M, 3).astype(np.float32) * 2 - 1)
+    mod = VectorAttention(dim=D, num_neighbors=K, dim2=D2)
+    variables = mod.init(jax.random.PRNGKey(0), x, pos, x2=x2, pos2=pos2)
+    w = jnp.asarray(rng.randn(1, N, D).astype(np.float32))
+
+    def loss_mod(x, x2, p):
+        out = mod.apply({'params': p}, x, pos, x2=x2, pos2=pos2)
+        return jnp.mean(out * w)
+
+    def loss_fused(x, x2, p):
+        out = fused_knn_vector_attention(
+            x @ p['to_q']['kernel'], pos, x2 @ p['to_k']['kernel'],
+            x2 @ p['to_v']['kernel'], pos2, p, K)
+        return jnp.mean(out * w)
+
+    p = variables['params']
+    gm = jax.grad(loss_mod, argnums=(0, 1, 2))(x, x2, p)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, x2, p)
+    flat_m, tree_m = jax.tree_util.tree_flatten(gm)
+    flat_f, tree_f = jax.tree_util.tree_flatten(gf)
+    assert tree_m == tree_f
+    for a, b, path in zip(flat_m, flat_f,
+                          jax.tree_util.tree_leaves_with_path(gm)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-6, rtol=2e-4,
+                                   err_msg=str(path[0]))
+
+
+def test_fused_interp_grads_match_ops(rng):
+    '''Interp backward kernel: d(features) matches autodiff through
+    knn_interpolate (weights are stop-gradient functions of positions).'''
+    import jax
+    import jax.numpy as jnp
+    from occlusions4d_tpu.ops.interpolate import knn_interpolate
+    from occlusions4d_tpu.ops.pallas_attention import fused_knn_interp
+
+    N, M, E, K = 130, 60, 24, 8
+    q_pos = jnp.asarray(rng.rand(1, N, 3).astype(np.float32) * 2 - 1)
+    pos2 = jnp.asarray(rng.rand(1, M, 3).astype(np.float32) * 2 - 1)
+    feats = jnp.asarray(rng.rand(1, M, E).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, N, E).astype(np.float32))
+
+    g_ref = jax.grad(lambda f: jnp.mean(
+        knn_interpolate(f, jax.lax.stop_gradient(pos2),
+                        jax.lax.stop_gradient(q_pos), K, eps=1e-4) * w))(feats)
+    g_fus = jax.grad(lambda f: jnp.mean(
+        fused_knn_interp(q_pos, pos2, f, K, eps=1e-4) * w))(feats)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
+                               atol=5e-6, rtol=2e-4)
+
+
+def test_fused_field_grads_match_module(rng):
+    '''End-to-end decoder gradients: fused_field_apply (all kernels through the
+    custom VJPs) matches the flax module's autodiff w.r.t. the full parameter
+    tree, the abstract features, and the global embedding.'''
+    import jax
+    import jax.numpy as jnp
+    from occlusions4d_tpu.models.implicit import LocalImplicitField
+    from occlusions4d_tpu.models.fused import fused_field_apply, supports_fused
+
+    N, M, E, Dg = 120, 64, 32, 16
+    q = jnp.asarray(rng.rand(1, N, 4).astype(np.float32) * 2 - 1)
+    abstract = jnp.asarray(rng.rand(1, M, 3 + E).astype(np.float32))
+    fg = jnp.asarray(rng.rand(1, Dg).astype(np.float32))
+    dec = LocalImplicitField(d_in=4, d_hidden=48, d_out=6, d_latent=48,
+                             n_blocks=4, pos_encoding_freqs=8,
+                             num_local_features=4, local_mode='attention',
+                             d_latent_local=E, cross_attn_neighbors=6,
+                             cross_attn_layers=2, cr_attn_type='cc')
+    assert supports_fused(dec)
+    variables = dec.init(jax.random.PRNGKey(1), q[:, :16], abstract, fg)
+    w = jnp.asarray(rng.randn(1, N, 6).astype(np.float32))
+
+    def loss_mod(v, ab, f):
+        return jnp.mean(dec.apply(v, q, ab, f)[0] * w)
+
+    def loss_fused(v, ab, f):
+        return jnp.mean(fused_field_apply(dec, v, q, ab, f)[0] * w)
+
+    gm = jax.grad(loss_mod, argnums=(0, 1, 2))(variables, abstract, fg)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(variables, abstract, fg)
+    # Abstract positions are stop-gradient in both paths.
+    np.testing.assert_array_equal(np.asarray(gm[1][..., :3]), 0.0)
+    np.testing.assert_array_equal(np.asarray(gf[1][..., :3]), 0.0)
+    flat_m = jax.tree_util.tree_leaves_with_path((gm[0], gm[1], gm[2]))
+    flat_f = jax.tree_util.tree_leaves((gf[0], gf[1], gf[2]))
+    assert len(flat_m) == len(flat_f)
+    for (path, a), b in zip(flat_m, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=5e-4, err_msg=str(path))

@@ -187,6 +187,35 @@ def test_training_observability_exports(greater_root, tmp_path):
     assert any('sample_input_ratio' in k for k in scalars), scalars
 
 
+def test_fused_decoder_train_path_matches_module(trained):
+    '''fused_decoder='on': the train pipeline routes the per-frame field
+    evaluation through the fused Pallas kernels (custom-VJP backward). Losses
+    and parameter gradients match the XLA module path (f32 kernels off-TPU).'''
+    from occlusions4d_tpu.pipeline import TrainPipeline
+    cfg, trainer, batches = trained
+    pipe_mod = trainer.pipeline
+    assert not pipe_mod.fused_decoder  # 'auto' is off on the CPU test platform.
+    pipe_fus = TrainPipeline(trainer.encoder, trainer.decoder,
+                             pipe_mod.sampler.cfg, pipe_mod.cfg,
+                             fused_decoder='on')
+    assert pipe_fus.fused_decoder
+
+    params = trainer.state['params']
+    batch = {k: jnp.asarray(v) for k, v in batches[0].items()
+             if k != 'meta_data'}
+    rng = jax.random.PRNGKey(5)
+    (loss_m, _), gm = jax.value_and_grad(pipe_mod.loss, has_aux=True)(
+        params, batch, rng)
+    (loss_f, _), gf = jax.value_and_grad(pipe_fus.loss, has_aux=True)(
+        params, batch, rng)
+    np.testing.assert_allclose(float(loss_f), float(loss_m), rtol=1e-4)
+    flat_m = jax.tree_util.tree_leaves_with_path(gm)
+    flat_f = jax.tree_util.tree_leaves(gf)
+    for (path, a), b in zip(flat_m, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=2e-3, err_msg=str(path))
+
+
 def test_optimizer_schedule_milestones():
     from occlusions4d_tpu.train import build_optimizer
     cfg = TrainConfig(num_epochs=20, learn_rate=1e-3, lr_decay=0.4)
