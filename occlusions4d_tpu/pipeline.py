@@ -167,10 +167,13 @@ class TrainPipeline:
               batch['num_valo_ids'])
 
             # Forward all solid + air points of the frame at once (pipeline.py:179-182).
-            points_query = jnp.concatenate(
-                [sample['solid_input'], sample['air_input']], axis=1)   # (B, S+A, 4).
-            implicit_target = jnp.concatenate(
-                [sample['solid_target'], sample['air_target']], axis=1)  # (B, S+A, 6).
+            # stop_gradient: queries/targets are sampled data, as in the reference
+            # (leaf tensors, requires_grad=False) - pins the semantics rather than
+            # relying on XLA to dead-code the sampler transpose.
+            points_query = jax.lax.stop_gradient(jnp.concatenate(
+                [sample['solid_input'], sample['air_input']], axis=1))   # (B, S+A, 4).
+            implicit_target = jax.lax.stop_gradient(jnp.concatenate(
+                [sample['solid_target'], sample['air_target']], axis=1))  # (B, S+A, 6).
 
             out = self._decode_frame(params['decoder'], points_query, abstract,
                                      feats_global)
