@@ -158,8 +158,9 @@ def main():
             'n_chips': n_chips,
             'actual_grid_queries': int(n_queries),
             'implicit_batch_size': 32768,
-            'train_step_ms_gv1_b1_f32': round(train_gv1_ms, 1),
-            'train_step_ms_n57344_b1_f32': round(train_57k_ms, 1),
+            # Fused-VJP decoder path (bf16 kernels), f32 params/optimizer.
+            'train_step_ms_gv1_b1': round(train_gv1_ms, 1),
+            'train_step_ms_n57344_b1': round(train_57k_ms, 1),
             'output_checksum': float(jnp.mean(out)),  # device-side reduce.
         },
     }
