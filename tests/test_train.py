@@ -158,6 +158,26 @@ def test_data_parallel_sharded_step(greater_root):
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_fused_decoder_dp8_sharded_step(greater_root):
+    '''fused_decoder='on' under the dp=8 mesh: the Pallas custom-VJP train step
+    must compile and execute with the batch axis sharded (params replicated),
+    like the XLA-path equivalent above.'''
+    cfg = _tiny_cfg(greater_root, batch_size=8, data_parallel=8,
+                    fused_decoder='on')
+    logger = Logger(context='test_dp_fused')
+    kind, train_loader, _, _ = create_train_val_loaders(cfg, logger)
+    trainer = Trainer(cfg, kind, logger=logger)
+    assert trainer.pipeline.fused_decoder
+    batch = next(iter(train_loader.epoch(0)))
+    trainer.init_state(batch, steps_per_epoch=4)
+    b = shard_batch(batch, trainer.mesh)
+    state, metrics = trainer._train_step(trainer.state, b, jax.random.PRNGKey(3))
+    assert bool(metrics['grads_finite'])
+    assert np.isfinite(float(metrics['total_loss']))
+    leaf = jax.tree_util.tree_leaves(state['params'])[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
 def test_training_observability_exports(greater_root, tmp_path):
     '''A tiny training run leaves npy point-cloud exports (input / abstract /
     implicit output / layer coords), filter-ratio scalars, and early-epoch RGB
