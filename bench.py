@@ -24,7 +24,8 @@ def _sync(x):
     return float(np.asarray(x.ravel()[0]))
 
 
-def _time_train_step(cfg, n_points, batch_size=1, steps=3, trials=2):
+def _time_train_step(cfg, n_points, batch_size=1, steps=3, trials=2,
+                     data_kind='greater'):
     '''One-chip jitted train-step latency (ms) at the given point budget:
     full pipeline - encoder, guided sampler, decoder, losses, AdamW update
     (VERDICT r1 item 6: driver-witnessed version of the README train numbers).'''
@@ -38,19 +39,27 @@ def _time_train_step(cfg, n_points, batch_size=1, steps=3, trials=2):
     rng = np.random.RandomState(1)
     B, N = batch_size, n_points
     T = cfg.past_frames + cfg.future_frames
-    M = 2 * n_points  # GREATER target budget (data.py:83 semantics).
-    tgt = np.zeros((B, T, M, 9), np.float32)
-    tgt[..., :3] = rng.rand(B, T, M, 3) * 6.0 - 3.0
+    M = 2 * n_points  # target budget: 2 * n_points (data.py:83 semantics).
+    E = 9 if data_kind == 'greater' else 11
+    half = cfg.cr_cube_bounds
+    tgt = np.zeros((B, T, M, E), np.float32)
+    tgt[..., :3] = rng.rand(B, T, M, 3) * 2.0 * half - half
     tgt[..., 2] = np.abs(tgt[..., 2])
-    tgt[..., 5:8] = rng.rand(B, T, M, 3)
+    if data_kind == 'greater':
+        tgt[..., 5:8] = rng.rand(B, T, M, 3)
+    else:  # CARLA layout: inst 4, segm 5, view 6, rgb 7:10.
+        tgt[..., 4] = rng.randint(0, 50, (B, T, M))
+        tgt[..., 5] = rng.randint(0, 23, (B, T, M))
+        tgt[..., 6] = rng.randint(0, 4, (B, T, M))
+        tgt[..., 7:10] = rng.rand(B, T, M, 3)
     batch = dict(
         pcl_input=(rng.rand(B, N, 8) * 2 - 1).astype(np.float32),
         pcl_target=tgt, pcl_target_valid=np.ones((B, T, M), bool),
-        valo_ids=np.zeros((B, 32), np.int32),
-        num_valo_ids=np.zeros((B,), np.int32))
+        valo_ids=np.tile(np.arange(32, dtype=np.int32), (B, 1)),
+        num_valo_ids=np.full((B,), 8, np.int32))
 
     mesh = make_mesh(1)
-    trainer = Trainer(cfg, 'greater', mesh=mesh)
+    trainer = Trainer(cfg, data_kind, mesh=mesh)
     trainer.init_state(batch, steps_per_epoch=100)
     sharded = shard_batch(batch, mesh)
     key = jax.random.PRNGKey(0)
@@ -147,6 +156,18 @@ def main():
     train_gv1_ms = _time_train_step(cfg, n_points=14336)
     train_57k_ms = _time_train_step(cfg, n_points=57344)
 
+    # cv1 (CARLA, /root/reference/README.md:41): layer norm, abstract_levels 2
+    # (2124-point abstract cloud in the decoder), 13 semantic classes, and the
+    # full low_moving_ivalo_sembal sampler bias mixture.
+    import dataclasses
+    cv1 = dataclasses.replace(
+        cfg, pt_norm_type='layer', segmentation_lw=0.6, color_lw=0.0,
+        tracking_lw=0.0, frame_skip=3, pt_cube_bounds=20.0, cr_cube_bounds=16.0,
+        cube_mode=4, abstract_levels=2, semantic_classes=13,
+        point_sample_bias='low_moving_ivalo_sembal', air_sampling_ratio=1.4)
+    verify_args(cv1, is_train=True)
+    train_cv1_ms = _time_train_step(cv1, n_points=14336, data_kind='carla')
+
     result = {
         'metric': 'dense_scene_524288_grid_queries_latency',
         'value': round(scene_s * 1000.0, 1),
@@ -161,6 +182,7 @@ def main():
             # Fused-VJP decoder path (bf16 kernels), f32 params/optimizer.
             'train_step_ms_gv1_b1': round(train_gv1_ms, 1),
             'train_step_ms_n57344_b1': round(train_57k_ms, 1),
+            'train_step_ms_cv1_b1': round(train_cv1_ms, 1),
             'output_checksum': float(jnp.mean(out)),  # device-side reduce.
         },
     }

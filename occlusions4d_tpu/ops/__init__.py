@@ -1,6 +1,7 @@
 '''Geometry kernel library: blockwise kNN, FPS, cuboid masks, selection, sampling.'''
 
-from .knn import knn, pairwise_sqdist, gather_neighbors, nn1_min_dist
+from .knn import (knn, pairwise_sqdist, gather_neighbors, nn1_min_dist,
+                  nn1_bidirectional)
 from .fps import fps, fps_batched, random_start_indices
 from .bounds import (Cuboid, greater_bounds, carla_input_bounds, carla_output_bounds,
                      blind_sample_bounds, cuboid_mask, greater_floor_mask)

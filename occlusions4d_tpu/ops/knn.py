@@ -24,7 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ['knn', 'pairwise_sqdist', 'gather_neighbors']
+__all__ = ['knn', 'pairwise_sqdist', 'gather_neighbors', 'nn1_min_dist',
+           'nn1_bidirectional']
 
 _FILL = jnp.float32(jnp.inf)
 # Per-example dense (N, M) element budget: 2^28 f32 = 1 GiB transient, well within
@@ -177,3 +178,28 @@ def nn1_min_dist(query, keys, *, key_mask=None, block_size=8192):
     '''
     d, _ = knn(query, keys, 1, key_mask=key_mask, block_size=block_size)
     return d[..., 0]
+
+
+def nn1_bidirectional(a, b, *, a_mask=None, b_mask=None):
+    '''
+    Both directions of exact 1-NN between two point sets in ONE pass over the
+    distance matrix: dist_a[i] = min over valid b of |a_i - b_j|, and
+    dist_b[j] = min over valid a of |a_i - b_j|. Two nn1_min_dist calls would
+    build the (N, M) tile twice; the sampler's dynamic-region ('moving') masks
+    need exactly this pair per frame (geometry.py:697-728 — which the reference
+    approximates on a shuffled slice; this is the full-cloud exact version).
+    :param a (..., N, C>=3); b (..., M, C>=3): only (x, y, z) is used.
+    :param a_mask (..., N) bool or None: invalid a-points never act as keys.
+    :param b_mask (..., M) bool or None: likewise for b.
+    :return (dist_a (..., N), dist_b (..., M)) f32 Euclidean distances.
+    '''
+    from .pallas_knn import nn1_bidir_pallas
+    a = jnp.asarray(a)[..., :3]
+    b = jnp.asarray(b)[..., :3]
+    batch_shape = a.shape[:-2]
+    N, M = a.shape[-2], b.shape[-2]
+    am = None if a_mask is None else jnp.asarray(a_mask).reshape((-1, N))
+    bm = None if b_mask is None else jnp.asarray(b_mask).reshape((-1, M))
+    d_a, d_b = nn1_bidir_pallas(a.reshape((-1, N, 3)), b.reshape((-1, M, 3)),
+                                a_mask=am, b_mask=bm)
+    return d_a.reshape(batch_shape + (N,)), d_b.reshape(batch_shape + (M,))

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['knn_pallas']
+__all__ = ['knn_pallas', 'nn1_bidir_pallas']
 
 _LANES = 128
 _BIG_I = 2 ** 30  # python int: jnp constants would be captured as kernel consts.
@@ -132,6 +132,133 @@ def _knn_pallas_call(q, keys, kn, k, tile_n, block_k, interpret):
         interpret=interpret,
     )(q, keys, kn)
     return out_d, out_i
+
+
+def _nn1_bidir_kernel(q_ref, qn_ref, k_ref, kn_ref, out_a_ref, out_b_ref,
+                      *, block_k, num_blocks):
+    '''
+    One pass over the (T, M) distance tile producing BOTH reductions:
+      out_a[i] = min_j (|b_j|^2 - 2 a_i.b_j)   (caller adds |a_i|^2)
+      out_b[j] = min_i (|a_i|^2 - 2 a_i.b_j)   (caller adds |b_j|^2)
+    qn/kn carry +inf at masked/padded points, which excludes them as *keys* of
+    the opposite direction. out_b is min-accumulated across query tiles
+    (sequential grid, initialized at the first tile).
+    :param q_ref (1, T, 3) f32; qn_ref (1, T, 1) f32 (|a|^2, +inf masked);
+        k_ref (1, 3, M_pad) f32 channel-major; kn_ref (1, 1, M_pad) f32;
+        out_a (1, T) f32; out_b (1, M_pad) f32.
+    '''
+    (_, T, _) = q_ref.shape
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _init():
+        out_b_ref[0] = jnp.full_like(out_b_ref[0], jnp.inf)
+
+    q = q_ref[0]                                                   # (T, 3).
+    qn = qn_ref[0]                                                 # (T, 1).
+    run_a = jnp.full((T, 1), jnp.inf, jnp.float32)
+
+    def body(b, run_a):
+        off = b * block_k
+        kblk = k_ref[0, :, pl.ds(off, block_k)]                    # (3, BK).
+        kn = kn_ref[0, :, pl.ds(off, block_k)]                     # (1, BK).
+        prod = jax.lax.dot_general(
+            q, kblk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                   # (T, BK).
+        e = -2.0 * prod
+        run_a = jnp.minimum(run_a, jnp.min(e + kn, axis=1, keepdims=True))
+        col_min = jnp.min(e + qn, axis=0)                          # (BK,).
+        cur = out_b_ref[0, pl.ds(off, block_k)]
+        out_b_ref[0, pl.ds(off, block_k)] = jnp.minimum(cur, col_min)
+        return run_a
+
+    run_a = jax.lax.fori_loop(0, num_blocks, body, run_a)
+    out_a_ref[0] = run_a[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=('tile_n', 'block_k', 'interpret'))
+def _nn1_bidir_call(q, qn, keys, kn, tile_n, block_k, interpret):
+    (B, N_pad, _) = q.shape
+    (_, _, M_pad) = keys.shape
+    num_blocks = M_pad // block_k
+    kern = functools.partial(_nn1_bidir_kernel, block_k=block_k,
+                             num_blocks=num_blocks)
+    out_a, out_b = pl.pallas_call(
+        kern,
+        grid=(B, N_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, M_pad), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_n), lambda b, t: (b, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_pad), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, M_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(q, qn, keys, kn)
+    return out_a, out_b
+
+
+def nn1_bidir_pallas(a, b, *, a_mask=None, b_mask=None, tile_n=256,
+                     block_k=4096):
+    '''
+    Bidirectional exact 1-NN distances in a single pass: for each a-point the
+    Euclidean distance to the nearest valid b-point, and for each b-point the
+    distance to the nearest valid a-point — the (N, M) distance tile is
+    computed once and reduced along both axes (two separate kNN calls would
+    build it twice). Used by the sampler's dynamic-region ('moving') masks,
+    which need exactly this pair (geometry.py:697-728 semantics, both frames).
+    :param a (B, N, 3); b (B, M, 3).
+    :param a_mask (B, N) bool or None: invalid a-points are excluded as
+        nearest-neighbor *keys* of the b->a direction.
+    :param b_mask (B, M) bool or None: likewise for the a->b direction.
+    :return (dist_a (B, N), dist_b (B, M)) f32 Euclidean distances.
+    '''
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    (B, N, _) = a.shape
+    (_, M, _) = b.shape
+
+    tile_n = min(tile_n, max(_LANES, 1 << (N - 1).bit_length()))
+    N_pad = -(-N // tile_n) * tile_n
+    block_k = min(block_k, max(_LANES, 1 << (M - 1).bit_length()))
+    M_pad = -(-M // block_k) * block_k
+
+    a_p = jnp.pad(a, ((0, 0), (0, N_pad - N), (0, 0)))
+    b_p = jnp.transpose(jnp.pad(b, ((0, 0), (0, M_pad - M), (0, 0))), (0, 2, 1))
+    qn_true = jnp.sum(jnp.square(a_p), axis=-1)                    # (B, N_pad).
+    kn_true = jnp.sum(jnp.square(b_p), axis=1)                     # (B, M_pad).
+
+    a_play = jnp.arange(N_pad) < N
+    if a_mask is not None:
+        a_play = a_play[None] & jnp.pad(jnp.asarray(a_mask),
+                                        ((0, 0), (0, N_pad - N)))
+    b_play = jnp.arange(M_pad) < M
+    if b_mask is not None:
+        b_play = b_play[None] & jnp.pad(jnp.asarray(b_mask),
+                                        ((0, 0), (0, M_pad - M)))
+    qn = jnp.where(a_play, qn_true, jnp.inf)[..., None]            # (B, N_pad, 1).
+    kn = jnp.where(b_play, kn_true, jnp.inf)[:, None, :]           # (B, 1, M_pad).
+
+    interpret = jax.default_backend() != 'tpu'
+    out_a, out_b = _nn1_bidir_call(a_p, qn, b_p, kn, int(tile_n), int(block_k),
+                                   interpret)
+    d_a = jnp.sqrt(jnp.maximum(out_a + qn_true, 0.0))[:, :N]
+    d_b = jnp.sqrt(jnp.maximum(out_b + kn_true, 0.0))[:, :M]
+    return d_a, d_b
 
 
 def knn_pallas(query, keys, k, *, key_mask=None, tile_n=256, block_k=4096,

@@ -34,9 +34,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import (carla_output_bounds, cuboid_mask, nn1_min_dist, masked_choice,
-                   sample_uniform_3ball, sample_blind_random, blind_sample_bounds,
-                   valid_first_order)
+from ..ops import (carla_output_bounds, cuboid_mask, nn1_min_dist,
+                   nn1_bidirectional, masked_choice, sample_uniform_3ball,
+                   sample_blind_random, blind_sample_bounds, valid_first_order)
 
 __all__ = ['SamplerConfig', 'GuidedPointSampler']
 
@@ -94,12 +94,6 @@ class GuidedPointSampler:
                                       self.cfg.cube_mode)
             valid = valid & cuboid_mask(pcl, cub)
         return valid
-
-    def _unique_mask(self, pcl, valid, other_xyz, other_valid, radius_mult=2.0):
-        '''Dynamic-region mask: farther than radius_mult * r from the other frame.'''
-        d = nn1_min_dist(pcl[:, :3], other_xyz, key_mask=other_valid,
-                         block_size=self.cfg.knn_block_size)
-        return valid & (d > self.cfg.point_occupancy_radius * radius_mult)
 
     # -------------------------------------------------------------------- solid --
 
@@ -365,8 +359,14 @@ class GuidedPointSampler:
         ok = jnp.sum(valid) >= 256  # geometry.py:688-689 runtime guard, as a flag.
 
         if cfg.has('moving'):
-            tgt_unique = self._unique_mask(tgt, valid, other[:, :3], other_v)
-            other_unique = self._unique_mask(other, other_v, tgt[:, :3], valid)
+            # Both directions share one distance matrix: a single bidirectional
+            # 1-NN pass replaces two full-cloud nn1 calls (geometry.py:697-728
+            # does this on a shuffled slice per direction; this is exact).
+            d_tgt, d_other = nn1_bidirectional(tgt[:, :3], other[:, :3],
+                                               a_mask=valid, b_mask=other_v)
+            thr = cfg.point_occupancy_radius * 2.0
+            tgt_unique = valid & (d_tgt > thr)
+            other_unique = other_v & (d_other > thr)
         else:
             tgt_unique = jnp.zeros_like(valid)
             other_unique = jnp.zeros_like(other_v)

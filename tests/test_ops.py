@@ -211,3 +211,32 @@ def test_nn1_min_dist_blockwise():
     d = np.asarray(ops.nn1_min_dist(q, kk, block_size=128))
     d_ref = np.linalg.norm(q[:, None] - kk[None], axis=-1).min(axis=-1)
     np.testing.assert_allclose(d, d_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_nn1_bidirectional_matches_two_passes():
+    '''One bidirectional pass == two masked nn1 passes (exact, both directions).'''
+    rng = np.random.RandomState(11)
+    a = rng.randn(2, 300, 3).astype(np.float32)
+    b = rng.randn(2, 450, 3).astype(np.float32)
+    am = rng.rand(2, 300) > 0.3
+    bm = rng.rand(2, 450) > 0.3
+    d_a, d_b = ops.nn1_bidirectional(a, b, a_mask=am, b_mask=bm)
+    for i in range(2):
+        ref_a = np.linalg.norm(a[i][:, None] - b[i][bm[i]][None], axis=-1).min(-1)
+        ref_b = np.linalg.norm(b[i][:, None] - a[i][am[i]][None], axis=-1).min(-1)
+        np.testing.assert_allclose(np.asarray(d_a[i]), ref_a, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(d_b[i]), ref_b, rtol=1e-4, atol=1e-4)
+
+
+def test_nn1_bidirectional_under_vmap():
+    '''The sampler calls it per example under vmap; semantics must not change.'''
+    import jax
+    rng = np.random.RandomState(12)
+    a = rng.randn(3, 120, 3).astype(np.float32)
+    b = rng.randn(3, 200, 3).astype(np.float32)
+    bm = rng.rand(3, 200) > 0.5
+    d_a, d_b = jax.vmap(lambda aa, bb, mm: ops.nn1_bidirectional(
+        aa, bb, b_mask=mm))(a, b, bm)
+    d_a2, d_b2 = ops.nn1_bidirectional(a, b, b_mask=bm)
+    np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_a2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_b2), rtol=1e-5)
