@@ -82,10 +82,10 @@ def fused_field_apply(decoder, variables, points_query, pcl_abstract,
             att = blk['layer2']
             y = _dense(x, blk['layer1'])
             q_proj = y @ att['to_q']['kernel']
-            k_all = feats_abs @ att['to_k']['kernel']
-            v_all = feats_abs @ att['to_v']['kernel']
+            # Raw abstract features go in; to_k/to_v are applied in-kernel
+            # after the neighbor gather (cheaper gather, identical math).
             y = fused_knn_vector_attention(
-                q_proj, q_xyz, k_all, v_all, pts_abs, att,
+                q_proj, q_xyz, feats_abs, pts_abs, att,
                 decoder.cross_attn_neighbors, key_mask=abstract_mask,
                 compute_dtype=compute_dtype)
             y = _dense(y, blk['layer3'])

@@ -9,7 +9,11 @@ its own pass. This kernel runs the whole block per query tile without leaving VM
   1. distance tile (T, M) via one MXU matmul, exact top-K extraction on-core
      (same algorithm as ops/pallas_knn.py);
   2. neighbor gather expressed as a one-hot (T*K, M) matmul against the fused
-     [k_all | v_all | pos2] value matrix - MXU work instead of HBM gathers;
+     [feats2 | pos2] value matrix - MXU work instead of HBM gathers. Features
+     are gathered RAW (E wide) and the bias-free to_k/to_v projections applied
+     per gathered row: gathering commutes with the linear maps, so the dot
+     products are identical while the gather matmul shrinks from 2D+3 to E+3
+     columns (2.4x fewer MACs at the cv1 abstract-cloud size);
   3. theta (pos) and gamma (attn) MLPs as (T*K, *) matmuls;
   4. per-channel softmax over the K axis and the weighted (v + theta) reduction.
 
@@ -56,24 +60,28 @@ def _mm2(a, b, dims, cd):
                                precision=prec)
 
 
-def _attn_kernel(qpos_ref, qproj_ref, kpos_ref, kvp_ref, kn_ref,
+def _attn_kernel(qpos_ref, qproj_ref, kpos_ref, fv_ref, kn_ref, wk_ref, wv_ref,
                  wp1_ref, bp1_ref, wp2_ref, bp2_ref,
                  wa1_ref, ba1_ref, wa2_ref, ba2_ref, out_ref,
-                 *, k, dim, group, compute_dtype):
+                 *, k, dim, feat, group, compute_dtype, premul):
     '''
     Block shapes (leading 1 from the (B, tiles) grid):
       qpos (1, T, 3) f32; qproj (1, T, D); kpos (1, M, 3) f32;
-      kvp (1, M, 2D+3): [k_all | v_all | pos2]; kn (1, 1, M) f32 (+inf masked);
-      weight/bias refs for theta (wp1 (3,P), bp1 (1,P), wp2 (P,D), bp2 (1,D))
-      and gamma (wa1 (D,H), ba1 (1,H), wa2 (H,D), ba2 (1,D));
+      fv (1, M, E+3): [feats2 | pos2] (raw key-side features, pre-projection);
+      kn (1, 1, M) f32 (+inf masked); wk/wv (E, D) key/value projections
+      (applied per gathered row: the one-hot gather then costs K*T*M*(E+3)
+      instead of K*T*M*(2D+3) MXU MACs - a 2.4x cut at the cv1 abstract-cloud
+      size, and exactly the same dot products since gathering commutes with the
+      linear projections); theta (wp1 (3,P), bp1 (1,P), wp2 (P,D), bp2 (1,D))
+      and gamma (wa1 (D,H), ba1 (1,H), wa2 (H,D), ba2 (1,D)) MLP weights;
       out (1, T, D).
 
     Neighbors are extracted one at a time (serial argmin over the running
-    distance row), but the gather + theta/gamma matmuls are batched over
-    `group` neighbors at once by stacking their one-hot rows along the sublane
-    axis ((G*T, M) @ (M, 2D+3) etc.) - fewer, larger MXU ops for the same
-    FLOPs. Stacking is along axis 0, never across the lane dimension (a (T*k,
-    ...) lane reshape is what Mosaic cannot lower).
+    distance row), but the gather + projection + theta/gamma matmuls are
+    batched over `group` neighbors at once by stacking their one-hot rows along
+    the sublane axis ((G*T, M) @ (M, E+3) etc.) - fewer, larger MXU ops for the
+    same FLOPs. Stacking is along axis 0, never across the lane dimension (a
+    (T*k, ...) lane reshape is what Mosaic cannot lower).
     '''
     (_, T, _) = qpos_ref.shape
     (_, M, _) = kpos_ref.shape
@@ -113,10 +121,19 @@ def _attn_kernel(qpos_ref, qproj_ref, kpos_ref, kvp_ref, kn_ref,
             onehots.append(col == idx)
         onehot = (onehots[0] if g_sz == 1
                   else jnp.concatenate(onehots, axis=0))           # (G*T, M).
-        g = _mm(onehot, kvp_ref[0], cd)                            # (G*T, 2D+3).
-        k_g = g[:, :dim]
-        v_g = g[:, dim:2 * dim]
-        p_g = g[:, 2 * dim:2 * dim + 3]
+        g = _mm(onehot, fv_ref[0], cd)                             # (G*T, C).
+        if premul:
+            # fv = [k_all | v_all | pos2]: projections applied before the
+            # gather (cheaper when the key set is small, see the wrapper).
+            k_g = g[:, :dim]
+            v_g = g[:, dim:2 * dim]
+            p_g = g[:, 2 * dim:2 * dim + 3]
+        else:
+            # fv = [feats2 | pos2]: project per gathered row.
+            f_g = g[:, :feat]
+            p_g = g[:, feat:feat + 3]
+            k_g = _mm(f_g, wk_ref[:], cd)                          # (G*T, D).
+            v_g = _mm(f_g, wv_ref[:], cd)                          # (G*T, D).
         qp = qpos_g[:g_sz * T]
         qj = qproj_g[:g_sz * T]
 
@@ -140,14 +157,17 @@ def _attn_kernel(qpos_ref, qproj_ref, kpos_ref, kvp_ref, kn_ref,
     out_ref[0] = run_acc / run_den                                 # (T, D).
 
 
-@functools.partial(jax.jit, static_argnames=('k', 'dim', 'tile_n', 'group',
-                                              'compute_dtype', 'interpret'))
-def _attn_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2,
-               k, dim, tile_n, group, compute_dtype, interpret):
+@functools.partial(jax.jit, static_argnames=('k', 'dim', 'feat', 'tile_n',
+                                              'group', 'compute_dtype',
+                                              'interpret', 'premul'))
+def _attn_call(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1,
+               wa2, ba2, k, dim, feat, tile_n, group, compute_dtype, interpret,
+               premul):
     (B, N_pad, _) = qpos.shape
     (_, M_pad, _) = kpos.shape
-    kern = functools.partial(_attn_kernel, k=k, dim=dim, group=group,
-                             compute_dtype=compute_dtype)
+    C = fv.shape[-1]
+    kern = functools.partial(_attn_kernel, k=k, dim=dim, feat=feat, group=group,
+                             compute_dtype=compute_dtype, premul=premul)
     grid = (B, N_pad // tile_n)
 
     def w_spec(shape):
@@ -164,10 +184,11 @@ def _attn_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_pad, 2 * dim + 3), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, M_pad, C), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            w_spec(wk.shape), w_spec(wv.shape),
             w_spec(wp1.shape), w_spec(bp1.shape), w_spec(wp2.shape),
             w_spec(bp2.shape), w_spec(wa1.shape), w_spec(ba1.shape),
             w_spec(wa2.shape), w_spec(ba2.shape),
@@ -179,31 +200,33 @@ def _attn_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba
         # push past the default 16 MB scoped-vmem budget at tile_n=128.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2)
+    )(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2)
     return out
 
 
-def _attn_bwd_kernel(qpos_ref, qproj_ref, kpos_ref, kvp_ref, kn_ref,
-                     wp1_ref, bp1_ref, wp2_ref, bp2_ref,
+def _attn_bwd_kernel(qpos_ref, qproj_ref, kpos_ref, fv_ref, kn_ref,
+                     wk_ref, wv_ref, wp1_ref, bp1_ref, wp2_ref, bp2_ref,
                      wa1_ref, ba1_ref, wa2_ref, ba2_ref, g_ref,
-                     dqproj_ref, dkv_ref,
+                     dqproj_ref, df_ref, dwk_ref, dwv_ref,
                      dwp1_ref, dbp1_ref, dwp2_ref, dbp2_ref,
                      dwa1_ref, dba1_ref, dwa2_ref, dba2_ref,
-                     *, k, dim, compute_dtype):
+                     *, k, dim, feat, compute_dtype, premul):
     '''
     Backward of _attn_kernel (flash-attention-style: recompute forward per query
     tile, then chain gradients without materializing (N, K, D) tensors in HBM).
 
     Gradient surface matches the module path's autodiff exactly where gradients
-    are live: d(q_proj), d(k_all), d(v_all) (scattered to keys via the transposed
-    one-hot matmul), and the theta/gamma MLP weights. Positions carry no gradient
-    (the module stop-gradients the kNN graph and coordinate deltas,
-    models/layers.py:89-93), so dqpos/dkpos are identically zero and not output.
+    are live: d(q_proj), d(feats2) (chained through the in-kernel key/value
+    projections and scattered to keys via the transposed one-hot matmul), the
+    to_k/to_v projection weights, and the theta/gamma MLP weights. Positions
+    carry no gradient (the module stop-gradients the kNN graph and coordinate
+    deltas, models/layers.py:89-93), so dqpos/dkpos are identically zero and
+    not output.
 
     All K neighbors are processed in one pass ((K*T, .) row stacks): unlike the
     forward's online softmax, the backward needs every neighbor's logits at once,
     and the full-K tensors fit VMEM at the decode shapes (~25 MB bf16 at K=14,
-    T=128). Accumulator outputs (dkv, weight grads) are revisited across grid
+    T=128). Accumulator outputs (df, weight grads) are revisited across grid
     steps ('arbitrary' sequential grid), initialized on the first visit.
     '''
     (_, T, _) = qpos_ref.shape
@@ -213,11 +236,13 @@ def _attn_bwd_kernel(qpos_ref, qproj_ref, kpos_ref, kvp_ref, kn_ref,
     t_idx = pl.program_id(1)
 
     @pl.when(t_idx == 0)
-    def _init_dkv():
-        dkv_ref[0] = jnp.zeros_like(dkv_ref[0])
+    def _init_df():
+        df_ref[0] = jnp.zeros_like(df_ref[0])
 
     @pl.when(jnp.logical_and(b_idx == 0, t_idx == 0))
     def _init_weight_grads():
+        dwk_ref[:] = jnp.zeros_like(dwk_ref)
+        dwv_ref[:] = jnp.zeros_like(dwv_ref)
         dwp1_ref[:] = jnp.zeros_like(dwp1_ref)
         dbp1_ref[:] = jnp.zeros_like(dbp1_ref)
         dwp2_ref[:] = jnp.zeros_like(dwp2_ref)
@@ -251,10 +276,17 @@ def _attn_bwd_kernel(qpos_ref, qproj_ref, kpos_ref, kvp_ref, kn_ref,
 
     qpos_g = tile_k(qpos)
     qproj_g = tile_k(qproj)
-    g_all = _mm(G, kvp_ref[0], cd)                                 # (K*T, 2D+3).
-    k_g = g_all[:, :dim]
-    v_g = g_all[:, dim:2 * dim]
-    p_g = g_all[:, 2 * dim:2 * dim + 3]
+    g_all = _mm(G, fv_ref[0], cd)                                  # (K*T, C).
+    if premul:
+        k_g = g_all[:, :dim]
+        v_g = g_all[:, dim:2 * dim]
+        p_g = g_all[:, 2 * dim:2 * dim + 3]
+        f_g = None
+    else:
+        f_g = g_all[:, :feat]
+        p_g = g_all[:, feat:feat + 3]
+        k_g = _mm(f_g, wk_ref[:], cd)                              # (K*T, D).
+        v_g = _mm(f_g, wv_ref[:], cd)                              # (K*T, D).
 
     rel = qpos_g - p_g                                             # (K*T, 3).
     ph_pre = _mm(rel, wp1_ref[:], cd) + bp1_ref[:]
@@ -308,22 +340,38 @@ def _attn_bwd_kernel(qpos_ref, qproj_ref, kpos_ref, kvp_ref, kn_ref,
     dwp1_ref[:] += _mm2(rel, dph, ((0,), (0,)), cd)                # (3, P).
     dbp1_ref[:] += jnp.sum(dph, axis=0, keepdims=True)
 
-    # Scatter key/value grads through the transposed one-hot: dk rows = -dhpre
-    # (from q - k + pe), dv rows = dvpe.
-    dkv_rows = jnp.concatenate([-dhpre, dvpe], axis=-1)            # (K*T, 2D).
-    dkv_ref[0] += _mm2(G, dkv_rows, ((0,), (0,)), cd)              # (M, 2D).
+    # Key/value grads: dk rows = -dhpre (from q - k + pe), dv rows = dvpe.
+    dk_g = -dhpre                                                  # (K*T, D).
+    dv_g = dvpe                                                    # (K*T, D).
+    if premul:
+        # Scatter projected-space grads; the wrapper's outer to_k/to_v matmuls
+        # chain them to dfeats/dW via XLA autodiff.
+        rows = jnp.concatenate([dk_g, dv_g], axis=-1)              # (K*T, 2D).
+        df_ref[0] += _mm2(G, rows, ((0,), (0,)), cd)               # (M, 2D).
+    else:
+        # Chain through the in-kernel projections (dW accumulate; df rows via
+        # W^T), then scatter feature grads through the transposed one-hot.
+        dwk_ref[:] += _mm2(f_g, dk_g, ((0,), (0,)), cd)            # (E, D).
+        dwv_ref[:] += _mm2(f_g, dv_g, ((0,), (0,)), cd)            # (E, D).
+        df_rows = (_mm2(dk_g, wk_ref[:], ((1,), (1,)), cd)
+                   + _mm2(dv_g, wv_ref[:], ((1,), (1,)), cd))      # (K*T, E).
+        df_ref[0] += _mm2(G, df_rows, ((0,), (0,)), cd)            # (M, E).
 
 
-@functools.partial(jax.jit, static_argnames=('k', 'dim', 'tile_n',
-                                              'compute_dtype', 'interpret'))
-def _attn_bwd_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1,
-                   wa2, ba2, g, k, dim, tile_n, compute_dtype, interpret):
+@functools.partial(jax.jit, static_argnames=('k', 'dim', 'feat', 'tile_n',
+                                              'compute_dtype', 'interpret',
+                                              'premul'))
+def _attn_bwd_call(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1,
+                   ba1, wa2, ba2, g, k, dim, feat, tile_n, compute_dtype,
+                   interpret, premul):
     (B, N_pad, _) = qpos.shape
     (_, M_pad, _) = kpos.shape
+    C = fv.shape[-1]
+    df_w = 2 * dim if premul else feat   # premul scatters [dk | dv] rows.
     (P,) = (wp1.shape[1],)
     H = wa1.shape[1]
-    kern = functools.partial(_attn_bwd_kernel, k=k, dim=dim,
-                             compute_dtype=compute_dtype)
+    kern = functools.partial(_attn_bwd_kernel, k=k, dim=dim, feat=feat,
+                             compute_dtype=compute_dtype, premul=premul)
     grid = (B, N_pad // tile_n)
 
     def w_spec(shape):
@@ -341,10 +389,11 @@ def _attn_bwd_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_pad, 2 * dim + 3), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, M_pad, C), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            w_spec(wk.shape), w_spec(wv.shape),
             w_spec(wp1.shape), w_spec(bp1.shape), w_spec(wp2.shape),
             w_spec(bp2.shape), w_spec(wa1.shape), w_spec(ba1.shape),
             w_spec(wa2.shape), w_spec(ba2.shape),
@@ -354,14 +403,17 @@ def _attn_bwd_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1,
         out_specs=(
             pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_pad, 2 * dim), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, M_pad, df_w), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            w_spec(wk.shape), w_spec(wv.shape),
             w_spec((3, P)), w_spec((1, P)), w_spec((P, dim)), w_spec((1, dim)),
             w_spec((dim, H)), w_spec((1, H)), w_spec((H, dim)), w_spec((1, dim)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, N_pad, dim), f32),
-            jax.ShapeDtypeStruct((B, M_pad, 2 * dim), f32),
+            jax.ShapeDtypeStruct((B, M_pad, df_w), f32),
+            jax.ShapeDtypeStruct(wk.shape, f32),
+            jax.ShapeDtypeStruct(wv.shape, f32),
             jax.ShapeDtypeStruct((3, P), f32),
             jax.ShapeDtypeStruct((1, P), f32),
             jax.ShapeDtypeStruct((P, dim), f32),
@@ -373,44 +425,57 @@ def _attn_bwd_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2, g)
+    )(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1, wa2,
+      ba2, g)
     return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18))
-def _attn_flat(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2,
-               ba2, k, dim, tile_n, group, compute_dtype, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20))
+def _attn_flat(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1,
+               wa2, ba2, k, dim, feat, tile_n, group, opts):
     '''Differentiable fused attention over the padded/flattened operands.
     Forward is the online-softmax kernel; backward is _attn_bwd_kernel. The
-    gradient surface (qproj, kvp's k/v columns, MLP weights; zero for
-    positions/kn) matches the module path's autodiff semantics.'''
-    return _attn_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1,
-                      wa2, ba2, k, dim, tile_n, group, compute_dtype, interpret)
+    gradient surface (qproj, fv's feature columns, to_k/to_v weights, MLP
+    weights; zero for positions/kn) matches the module path's autodiff
+    semantics. opts = (compute_dtype, interpret, premul); with premul=True,
+    fv carries pre-projected [k_all | v_all | pos2], wk/wv are unused (1, 1)
+    dummies, and the k/v gradients come back through fv's columns (the
+    wrapper's outer matmuls chain them onward via XLA autodiff).'''
+    compute_dtype, interpret, premul = opts
+    return _attn_call(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2,
+                      wa1, ba1, wa2, ba2, k, dim, feat, tile_n, group,
+                      compute_dtype, interpret, premul)
 
 
-def _attn_flat_fwd(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1,
-                   wa2, ba2, k, dim, tile_n, group, compute_dtype, interpret):
-    out = _attn_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1,
-                     wa2, ba2, k, dim, tile_n, group, compute_dtype, interpret)
-    res = (qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2)
+def _attn_flat_fwd(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1,
+                   ba1, wa2, ba2, k, dim, feat, tile_n, group, opts):
+    compute_dtype, interpret, premul = opts
+    out = _attn_call(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2,
+                     wa1, ba1, wa2, ba2, k, dim, feat, tile_n, group,
+                     compute_dtype, interpret, premul)
+    res = (qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1,
+           wa2, ba2)
     return out, res
 
 
-def _attn_flat_bwd(k, dim, tile_n, group, compute_dtype, interpret, res, g):
-    (qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2) = res
+def _attn_flat_bwd(k, dim, feat, tile_n, group, opts, res, g):
+    (qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1, wa2,
+     ba2) = res
+    compute_dtype, interpret, premul = opts
     # Backward tiles full-K rows in VMEM; shrink the tile at large K to fit.
     bwd_tile = tile_n if k <= 16 else max(tile_n // 2, _LANES)
     bwd_tile = min(bwd_tile, qpos.shape[1])
-    (dqproj, dkv, dwp1, dbp1, dwp2, dbp2, dwa1, dba1, dwa2, dba2) = \
-        _attn_bwd_call(qpos, qproj, kpos, kvp, kn, wp1, bp1, wp2, bp2, wa1,
-                       ba1, wa2, ba2, jnp.asarray(g, jnp.float32), k, dim,
-                       bwd_tile, compute_dtype, interpret)
-    # kvp = [k_all | v_all | pos2]: positions carry no gradient.
-    dkvp = jnp.concatenate(
-        [dkv, jnp.zeros(kvp.shape[:2] + (3,), dkv.dtype)], axis=-1)
+    (dqproj, df, dwk, dwv, dwp1, dbp1, dwp2, dbp2, dwa1, dba1, dwa2, dba2) = \
+        _attn_bwd_call(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2,
+                       wa1, ba1, wa2, ba2, jnp.asarray(g, jnp.float32), k, dim,
+                       feat, bwd_tile, compute_dtype, interpret, premul)
+    # fv's trailing pos2 columns carry no gradient.
+    dfv = jnp.concatenate(
+        [df, jnp.zeros(fv.shape[:2] + (3,), df.dtype)], axis=-1)
     zeros = lambda x: jnp.zeros(x.shape, x.dtype)
     return (zeros(qpos), dqproj.astype(qproj.dtype), zeros(kpos),
-            dkvp.astype(kvp.dtype), zeros(kn),
+            dfv.astype(fv.dtype), zeros(kn),
+            dwk.astype(wk.dtype), dwv.astype(wv.dtype),
             dwp1.astype(wp1.dtype), dbp1.astype(bp1.dtype),
             dwp2.astype(wp2.dtype), dbp2.astype(bp2.dtype),
             dwa1.astype(wa1.dtype), dba1.astype(ba1.dtype),
@@ -640,17 +705,20 @@ def fused_knn_interp(q_pos, pos2, feats, k, *, eps=1e-4, key_mask=None,
     return out[:, :N]
 
 
-def fused_knn_vector_attention(q_proj, q_pos, k_all, v_all, pos2, params, k,
+def fused_knn_vector_attention(q_proj, q_pos, feats2, pos2, params, k,
                                *, key_mask=None, tile_n=128, group=None,
                                compute_dtype=jnp.float32):
     '''
     One fused vector cross-attention block.
     :param q_proj (B, N, D): projected query features (to_q applied).
     :param q_pos (B, N, 3): query coordinates.
-    :param k_all / v_all (B, M, D): projected key/value features.
+    :param feats2 (B, M, E): RAW key-side features - the to_k/to_v projections
+        are applied in-kernel per gathered row, which makes the one-hot MXU
+        gather E+3 wide instead of 2D+3 (the projections commute with the
+        gather, so the dot products are identical).
     :param pos2 (B, M, 3): key coordinates.
-    :param params: dict with pos_mlp_0/pos_mlp_2/attn_mlp_0/attn_mlp_2, each
-        {'kernel', 'bias'} (flax layout).
+    :param params: dict with to_k/to_v (bias-free) and pos_mlp_0/pos_mlp_2/
+        attn_mlp_0/attn_mlp_2, each {'kernel', ['bias']} (flax layout).
     :param k (int): neighbors, k <= 32.
     :param key_mask (B, M) bool or None.
     :param group (int or None): neighbors per batched gather/MLP pass inside
@@ -663,22 +731,35 @@ def fused_knn_vector_attention(q_proj, q_pos, k_all, v_all, pos2, params, k,
     if group is None:
         group = 4
     (B, N, dim) = q_proj.shape
-    (_, M, _) = k_all.shape
+    (_, M, feat) = feats2.shape
     tile_n = min(tile_n, max(_LANES, 1 << (N - 1).bit_length()))
     N_pad = -(-N // tile_n) * tile_n
     M_pad = -(-M // _LANES) * _LANES
 
+    # Projection placement (static, by shape): gathering raw features and
+    # projecting per gathered row saves MXU work when the key set is large
+    # (gather cost K*T*M*(E+3) + proj 2*K*T*E*D vs K*T*M*(2D+3)), but at small
+    # M the extra per-group matmuls cost more than the wider gather (measured:
+    # premul wins at the gv1 M=531 decode, in-kernel wins at cv1 M=2124).
+    premul = M_pad * (2 * dim - feat) < 4 * feat * dim
+
     pad_q = ((0, 0), (0, N_pad - N), (0, 0))
-    pad_k = ((0, 0), (0, M_pad - M), (0, 0))
     q_pos_p = jnp.pad(q_pos.astype(jnp.float32), pad_q)
     q_proj_p = jnp.pad(q_proj.astype(jnp.float32), pad_q)
-    kpos_p = jnp.pad(pos2.astype(jnp.float32), pad_k)
-    kvp = jnp.concatenate([k_all.astype(jnp.float32), v_all.astype(jnp.float32),
-                           pos2.astype(jnp.float32)], axis=-1)
+    kpos_p = jnp.pad(pos2.astype(jnp.float32), ((0, 0), (0, M_pad - M), (0, 0)))
+    if premul:
+        k_all = feats2 @ params['to_k']['kernel']
+        v_all = feats2 @ params['to_v']['kernel']
+        fv = jnp.concatenate([k_all.astype(jnp.float32),
+                              v_all.astype(jnp.float32),
+                              pos2.astype(jnp.float32)], axis=-1)
+    else:
+        fv = jnp.concatenate([feats2.astype(jnp.float32),
+                              pos2.astype(jnp.float32)], axis=-1)
     # Pre-cast the gathered value matrix to the compute dtype: the kernel's
     # one-hot gather consumes it directly, so this removes per-group VPU casts
     # and halves the block's VMEM footprint/fetch in bf16 mode.
-    kvp = jnp.pad(kvp.astype(compute_dtype), ((0, 0), (0, M_pad - M), (0, 0)))
+    fv = jnp.pad(fv.astype(compute_dtype), ((0, 0), (0, M_pad - M), (0, 0)))
     kn = jnp.sum(jnp.square(kpos_p), axis=-1)                       # (B, M_pad).
     in_play = jnp.arange(M_pad) < M
     if key_mask is not None:
@@ -686,19 +767,27 @@ def fused_knn_vector_attention(q_proj, q_pos, k_all, v_all, pos2, params, k,
                                           ((0, 0), (0, M_pad - M)))
     kn = jnp.where(in_play, kn, jnp.inf)[:, None, :]
 
-    def wb(name):
+    def wb(name, bias=True):
         p = params[name]
         w = jnp.asarray(p['kernel'], jnp.float32).astype(compute_dtype)
+        if not bias:
+            return w
         b = jnp.asarray(p['bias'], jnp.float32)[None, :]
         return w, b
 
+    if premul:  # In-kernel projections unused; keep operands tiny.
+        wk = wv = jnp.zeros((1, 1), compute_dtype)
+    else:
+        wk = wb('to_k', bias=False)
+        wv = wb('to_v', bias=False)
     wp1, bp1 = wb('pos_mlp_0')
     wp2, bp2 = wb('pos_mlp_2')
     wa1, ba1 = wb('attn_mlp_0')
     wa2, ba2 = wb('attn_mlp_2')
 
     interpret = jax.default_backend() != 'tpu'
-    out = _attn_flat(q_pos_p, q_proj_p, kpos_p, kvp, kn, wp1, bp1, wp2, bp2,
-                     wa1, ba1, wa2, ba2, int(k), int(dim), int(tile_n),
-                     int(group), compute_dtype, interpret)
+    out = _attn_flat(q_pos_p, q_proj_p, kpos_p, fv, kn, wk, wv, wp1, bp1, wp2,
+                     bp2, wa1, ba1, wa2, ba2, int(k), int(dim), int(feat),
+                     int(tile_n), int(group),
+                     (compute_dtype, interpret, bool(premul)))
     return out[:, :N]

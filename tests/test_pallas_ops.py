@@ -72,8 +72,7 @@ def test_fused_attention_matches_module(rng):
     mod = VectorAttention(dim=D, num_neighbors=K, dim2=D2)
     variables = mod.init(jax.random.PRNGKey(0), x, pos, x2=x2, pos2=pos2)
     p = variables['params']
-    args = (x @ p['to_q']['kernel'], pos, x2 @ p['to_k']['kernel'],
-            x2 @ p['to_v']['kernel'], pos2, p, K)
+    args = (x @ p['to_q']['kernel'], pos, x2, pos2, p, K)
 
     ref = np.asarray(mod.apply(variables, x, pos, x2=x2, pos2=pos2))
     out = np.asarray(fused_knn_vector_attention(*args))
@@ -146,8 +145,7 @@ def test_fused_kernels_bf16_close_to_f32(rng):
     N, M, D, E, K = 200, 90, 64, 24, 8
     q_proj = jnp.asarray(rng.rand(1, N, D).astype(np.float32) - 0.5)
     q_pos = jnp.asarray(rng.rand(1, N, 3).astype(np.float32) * 2 - 1)
-    k_all = jnp.asarray(rng.rand(1, M, D).astype(np.float32) - 0.5)
-    v_all = jnp.asarray(rng.rand(1, M, D).astype(np.float32) - 0.5)
+    feats2 = jnp.asarray(rng.rand(1, M, D).astype(np.float32) - 0.5)
     pos2 = jnp.asarray(rng.rand(1, M, 3).astype(np.float32) * 2 - 1)
     params = {}
     for name, (di, do) in dict(pos_mlp_0=(3, 32), pos_mlp_2=(32, D),
@@ -156,11 +154,14 @@ def test_fused_kernels_bf16_close_to_f32(rng):
         params[name] = dict(
             kernel=jnp.asarray(rng.randn(di, do).astype(np.float32) * 0.1),
             bias=jnp.asarray(rng.randn(do).astype(np.float32) * 0.01))
+    for name in ('to_k', 'to_v'):
+        params[name] = dict(
+            kernel=jnp.asarray(rng.randn(D, D).astype(np.float32) * 0.1))
 
     a32 = np.asarray(fused_knn_vector_attention(
-        q_proj, q_pos, k_all, v_all, pos2, params, K))
+        q_proj, q_pos, feats2, pos2, params, K))
     a16 = np.asarray(fused_knn_vector_attention(
-        q_proj, q_pos, k_all, v_all, pos2, params, K,
+        q_proj, q_pos, feats2, pos2, params, K,
         compute_dtype=jnp.bfloat16))
     rel = np.abs(a16 - a32).max() / (np.abs(a32).max() + 1e-9)
     assert rel < 3e-2, rel
@@ -197,8 +198,7 @@ def test_fused_attention_grads_match_module(rng):
 
     def loss_fused(x, x2, p):
         out = fused_knn_vector_attention(
-            x @ p['to_q']['kernel'], pos, x2 @ p['to_k']['kernel'],
-            x2 @ p['to_v']['kernel'], pos2, p, K)
+            x @ p['to_q']['kernel'], pos, x2, pos2, p, K)
         return jnp.mean(out * w)
 
     p = variables['params']
@@ -276,3 +276,43 @@ def test_fused_field_grads_match_module(rng):
     for (path, a), b in zip(flat_m, flat_f):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-5, rtol=5e-4, err_msg=str(path))
+
+
+def test_fused_attention_premul_mode_matches_module(rng):
+    '''Shapes chosen so the wrapper picks the pre-projected (premul) gather
+    (M_pad * (2D - E) < 4*E*D): output and gradient parity with the module.'''
+    import jax
+    import jax.numpy as jnp
+    from occlusions4d_tpu.models.layers import VectorAttention
+    from occlusions4d_tpu.ops.pallas_attention import fused_knn_vector_attention
+
+    N, M, D, D2, K = 96, 40, 32, 56, 6
+    x = jnp.asarray(rng.rand(1, N, D).astype(np.float32) - 0.5)
+    pos = jnp.asarray(rng.rand(1, N, 3).astype(np.float32) * 2 - 1)
+    x2 = jnp.asarray(rng.rand(1, M, D2).astype(np.float32) - 0.5)
+    pos2 = jnp.asarray(rng.rand(1, M, 3).astype(np.float32) * 2 - 1)
+    mod = VectorAttention(dim=D, num_neighbors=K, dim2=D2)
+    variables = mod.init(jax.random.PRNGKey(0), x, pos, x2=x2, pos2=pos2)
+    p = variables['params']
+    M_pad = 128
+    assert M_pad * (2 * D - D2) < 4 * D2 * D  # premul branch is the one taken.
+
+    ref = np.asarray(mod.apply(variables, x, pos, x2=x2, pos2=pos2))
+    out = np.asarray(fused_knn_vector_attention(
+        x @ p['to_q']['kernel'], pos, x2, pos2, p, K))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+    w = jnp.asarray(rng.randn(1, N, D).astype(np.float32))
+
+    def loss_mod(x, x2, p):
+        return jnp.mean(mod.apply({'params': p}, x, pos, x2=x2, pos2=pos2) * w)
+
+    def loss_fused(x, x2, p):
+        return jnp.mean(fused_knn_vector_attention(
+            x @ p['to_q']['kernel'], pos, x2, pos2, p, K) * w)
+
+    gm = jax.grad(loss_mod, argnums=(0, 1, 2))(x, x2, p)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, x2, p)
+    for a, b in zip(jax.tree_util.tree_leaves(gm), jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-6, rtol=2e-4)
