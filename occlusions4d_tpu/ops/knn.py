@@ -116,15 +116,23 @@ def _knn_batched(query, keys, k, key_mask=None, block_size=4096, euclidean=True)
 # Above this many (N * M) distance entries, the Pallas kernel beats XLA's fused
 # dense top_k on TPU (measured crossover ~2M on v5e; at 14336^2 it is 17x faster).
 _PALLAS_MIN_ELEMS = 2 ** 21
+# Above this, the plain kernel's O(K*N*M) VPU extraction dominates and the
+# Morton-sorted bbox-pruned kernel wins despite its sort/unsort overhead
+# (57344^2 self-attention: 117 -> 63 ms; at 14336^2 the two kernels tie, so
+# the threshold sits just above it and the reference scale keeps the plain
+# kernel's exact argsort tie order).
+_SPATIAL_MIN_ELEMS = 2 ** 28
 
 
 def knn(query, keys, k, *, key_mask=None, block_size=4096, euclidean=True,
-        use_pallas=None):
+        use_pallas=None, spatial=None):
     '''
     For each query point, find the k nearest key points by 3D Euclidean distance.
 
     On TPU, large searches dispatch to the Pallas kernel (ops/pallas_knn.py: MXU
-    distance tiles + on-core top-K extraction, never leaving VMEM); small ones use
+    distance tiles + on-core top-K extraction, never leaving VMEM); very large
+    ones additionally Morton-sort both point sets and prune key blocks by
+    bounding-box distance (exact; see knn_pallas_spatial). Small searches use
     the dense XLA formulation which fuses completely. Off-TPU always uses XLA.
     :param query (..., N, C>=3) array: only the first 3 channels (x, y, z) are used.
     :param keys (..., M, C>=3) array: only the first 3 channels are used.
@@ -134,8 +142,11 @@ def knn(query, keys, k, *, key_mask=None, block_size=4096, euclidean=True,
         beyond the dense budget.
     :param euclidean (bool): return Euclidean (True) or squared (False) distances.
     :param use_pallas (bool or None): force a path; None auto-selects.
+    :param spatial (bool or None): force/forbid the Morton-pruned kernel; None
+        auto-selects by N * M.
     :return (dists (..., N, k), idx (..., N, k)): ascending by distance.
     '''
+    same = query is keys  # before slicing: self-attention reuses one sort.
     query = jnp.asarray(query)[..., :3]
     keys = jnp.asarray(keys)[..., :3]
     batch_shape = query.shape[:-2]
@@ -148,8 +159,15 @@ def knn(query, keys, k, *, key_mask=None, block_size=4096, euclidean=True,
         use_pallas = (jax.default_backend() == 'tpu' and k <= 32
                       and N * M >= _PALLAS_MIN_ELEMS)
     if use_pallas:
-        from .pallas_knn import knn_pallas
-        dists, idx = knn_pallas(q, kk, k, key_mask=km, euclidean=euclidean)
+        if spatial is None:
+            spatial = N * M >= _SPATIAL_MIN_ELEMS
+        if spatial:
+            from .pallas_knn import knn_pallas_spatial
+            dists, idx = knn_pallas_spatial(q, kk, k, key_mask=km,
+                                            euclidean=euclidean, same=same)
+        else:
+            from .pallas_knn import knn_pallas
+            dists, idx = knn_pallas(q, kk, k, key_mask=km, euclidean=euclidean)
     else:
         dists, idx = _knn_batched(q, kk, k, key_mask=km, block_size=block_size,
                                   euclidean=euclidean)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['knn_pallas', 'nn1_bidir_pallas']
+__all__ = ['knn_pallas', 'knn_pallas_spatial', 'nn1_bidir_pallas']
 
 _LANES = 128
 _BIG_I = 2 ** 30  # python int: jnp constants would be captured as kernel consts.
@@ -132,6 +132,215 @@ def _knn_pallas_call(q, keys, kn, k, tile_n, block_k, interpret):
         interpret=interpret,
     )(q, keys, kn)
     return out_d, out_i
+
+
+def _knn_spatial_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
+                        out_d_ref, out_i_ref, accd_ref, acci_ref,
+                        *, k, block_k, num_blocks):
+    '''
+    Exact kNN with per-block spatial pruning: keys arrive Morton-sorted (see
+    knn_pallas_spatial), so each contiguous key block occupies a compact
+    spatial cell whose bounding box is precomputed in bbox_ref. A block is
+    skipped when the squared distance lower bound between the query tile's
+    bbox and the block's bbox cannot beat the worst running kth distance of
+    any query row - an exact criterion (the bound never skips a block that
+    could contribute), which turns the O(K * N * M) VPU extraction into
+    O(K * N * M_near).
+    :param q_ref (1, T, 3) f32 (Morton-sorted queries); qn_ref (1, T, 1) f32
+        (|q|^2 - the running distances are stored without it, so the skip
+        bound adds it back per row); k_ref (1, 3, M_pad); kn_ref (1, 1, M_pad)
+        (+inf at masked/padded keys); bbox_ref (1, num_blocks, 8) f32 rows
+        [lo_xyz, hi_xyz, 0, 0]; outputs/scratch as in _knn_kernel.
+    '''
+    (T, K_pad) = accd_ref.shape
+    t_idx = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    q = q_ref[0]                                                   # (T, 3).
+    qn = qn_ref[0]                                                 # (T, 1).
+    accd_ref[:] = jnp.full((T, K_pad), jnp.inf, jnp.float32)
+    acci_ref[:] = jnp.zeros((T, K_pad), jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, block_k), 1)
+    tile_lo = jnp.min(q, axis=0, keepdims=True)                    # (1, 3).
+    tile_hi = jnp.max(q, axis=0, keepdims=True)                    # (1, 3).
+    # Seed block: both sets sit on the same Morton curve, so the keys nearest
+    # this query tile live around the proportional curve position. Processing
+    # that block first tightens the pruning bound immediately (a 0..nb scan
+    # would run with bound=inf until it reaches the tile's neighborhood).
+    seed = (t_idx * num_blocks) // jnp.maximum(n_tiles, 1)
+
+    def body(j, _):
+        b = jnp.where(j == 0, seed, j - 1)
+        blk = bbox_ref[0, pl.ds(b, 1), :]                          # (1, 8).
+        gap = jnp.maximum(jnp.maximum(blk[:, 0:3] - tile_hi,
+                                      tile_lo - blk[:, 3:6]), 0.0)
+        lb2 = jnp.sum(gap * gap)                                   # scalar.
+        bound = jnp.max(accd_ref[:, k - 1:k] + qn)                 # scalar.
+        revisit = jnp.logical_and(j > 0, b == seed)
+
+        @pl.when(jnp.logical_and(lb2 < bound, jnp.logical_not(revisit)))
+        def _process():
+            off = b * block_k
+            kblk = k_ref[0, :, pl.ds(off, block_k)]                # (3, BK).
+            kn = kn_ref[0, :, pl.ds(off, block_k)]                 # (1, BK).
+            prod = jax.lax.dot_general(
+                q, kblk, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)               # (T, BK).
+            d = kn - 2.0 * prod
+
+            acc_d, acc_i = accd_ref[:], acci_ref[:]
+            for _j in range(k):
+                m = jnp.min(d, axis=1, keepdims=True)              # (T, 1).
+                idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1,
+                              keepdims=True)
+                d = jnp.where(col == idx, jnp.inf, d)
+                acc_d, acc_i = _insert_sorted(acc_d, acc_i, m, idx + off)
+            accd_ref[:] = acc_d
+            acci_ref[:] = acc_i
+
+        return 0
+
+    jax.lax.fori_loop(0, num_blocks + 1, body, 0)
+    out_d_ref[0] = accd_ref[:]
+    out_i_ref[0] = acci_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=('k', 'tile_n', 'block_k',
+                                              'interpret'))
+def _knn_spatial_call(q, qn, keys, kn, bbox, k, tile_n, block_k, interpret):
+    (B, N_pad, _) = q.shape
+    (_, _, M_pad) = keys.shape
+    K_pad = _LANES
+    num_blocks = M_pad // block_k
+    kern = functools.partial(_knn_spatial_kernel, k=k, block_k=block_k,
+                             num_blocks=num_blocks)
+    out_d, out_i = pl.pallas_call(
+        kern,
+        grid=(B, N_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, M_pad), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_blocks, 8), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_n, K_pad), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n, K_pad), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N_pad, K_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, N_pad, K_pad), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((tile_n, K_pad), jnp.float32),
+                        pltpu.VMEM((tile_n, K_pad), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(q, qn, keys, kn, bbox)
+    return out_d, out_i
+
+
+def _part1by2(x):
+    '''Spread the low 10 bits of x across every third bit (Morton helper).'''
+    x = x & 0x3ff
+    x = (x | (x << 16)) & 0x030000ff
+    x = (x | (x << 8)) & 0x0300f00f
+    x = (x | (x << 4)) & 0x030c30c3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _morton_codes(pts, lo, hi):
+    '''30-bit Morton codes of (B, N, 3) points within per-example bounds.'''
+    scale = jnp.maximum(hi - lo, 1e-9)
+    q = jnp.clip((pts - lo) / scale * 1023.0, 0.0, 1023.0).astype(jnp.int32)
+    return (_part1by2(q[..., 0]) | (_part1by2(q[..., 1]) << 1)
+            | (_part1by2(q[..., 2]) << 2))
+
+
+def knn_pallas_spatial(query, keys, k, *, key_mask=None, tile_n=256,
+                       block_k=2048, euclidean=True, same=None):
+    '''
+    Exact kNN via Morton sorting + bbox-pruned Pallas extraction: both point
+    sets are sorted along a space-filling curve (device-side argsort), so
+    query tiles and key blocks become compact spatial cells and the kernel
+    skips every key block whose bounding box provably cannot contribute to
+    any query row's top-k. Results are identical to knn_pallas up to the
+    index returned among exactly-equidistant duplicate points (the neighbor
+    distance multiset is exact; the reference's own tie order is an argsort
+    artifact). This is the large-N*M path: at n_points=57344 self-attention
+    (3.3e9 candidate pairs) the plain kernel's extraction is VPU-bound.
+    :param same (bool or None): queries and keys are the same point set
+        (self-attention) - reuses one sort. Auto-detected by identity if None.
+    '''
+    assert k <= 32
+    query = jnp.asarray(query, jnp.float32)
+    keys_in = jnp.asarray(keys, jnp.float32)
+    (B, N, _) = query.shape
+    (_, M, _) = keys_in.shape
+    if same is None:
+        same = query is keys_in
+
+    lo = jnp.min(keys_in, axis=1, keepdims=True)                   # (B, 1, 3).
+    hi = jnp.max(keys_in, axis=1, keepdims=True)
+    perm_k = jnp.argsort(_morton_codes(keys_in, lo, hi), axis=-1)  # (B, M).
+    keys_s = jnp.take_along_axis(keys_in, perm_k[..., None], axis=1)
+    if same and N == M:
+        perm_q, query_s = perm_k, keys_s
+    else:
+        perm_q = jnp.argsort(_morton_codes(query, lo, hi), axis=-1)
+        query_s = jnp.take_along_axis(query, perm_q[..., None], axis=1)
+
+    tile_n = min(tile_n, max(_LANES, 1 << (N - 1).bit_length()))
+    N_pad = -(-N // tile_n) * tile_n
+    block_k = min(block_k, max(_LANES, 1 << (M - 1).bit_length()))
+    M_pad = -(-M // block_k) * block_k
+
+    # Pad queries by repeating the last sorted row (keeps tile bboxes tight);
+    # padded rows are dropped by the unsort gather.
+    q_p = jnp.concatenate(
+        [query_s, jnp.broadcast_to(query_s[:, -1:], (B, N_pad - N, 3))], axis=1
+    ) if N_pad > N else query_s
+    qn = jnp.sum(jnp.square(q_p), axis=-1, keepdims=True)          # (B, N_pad, 1).
+    # Pad keys likewise (kn=+inf keeps them unselected, bbox stays valid).
+    k_p = jnp.concatenate(
+        [keys_s, jnp.broadcast_to(keys_s[:, -1:], (B, M_pad - M, 3))], axis=1
+    ) if M_pad > M else keys_s
+    kn = jnp.sum(jnp.square(k_p), axis=-1)                         # (B, M_pad).
+    in_play = jnp.arange(M_pad) < M
+    if key_mask is not None:
+        mask_s = jnp.take_along_axis(jnp.asarray(key_mask), perm_k, axis=1)
+        mask_p = jnp.pad(mask_s, ((0, 0), (0, M_pad - M)))
+        in_play = in_play[None] & mask_p
+        in_play = jnp.broadcast_to(in_play, (B, M_pad))
+    kn = jnp.where(in_play, kn, jnp.inf)
+    kn = jnp.broadcast_to(kn, (B, M_pad))[:, None, :]              # (B, 1, M_pad).
+
+    num_blocks = M_pad // block_k
+    blocks = k_p.reshape(B, num_blocks, block_k, 3)
+    bbox = jnp.concatenate([jnp.min(blocks, axis=2), jnp.max(blocks, axis=2),
+                            jnp.zeros((B, num_blocks, 2))], axis=-1)  # (B, nb, 8).
+
+    interpret = jax.default_backend() != 'tpu'
+    out_d, out_i = _knn_spatial_call(q_p, qn, jnp.transpose(k_p, (0, 2, 1)),
+                                     kn, bbox, int(k), int(tile_n),
+                                     int(block_k), interpret)
+    d2 = jnp.maximum(out_d[:, :N, :k] + qn[:, :N], 0.0)
+    idx_sorted = out_i[:, :N, :k]
+    # Map key indices back to the original order, then unsort the query rows.
+    idx_orig = jnp.take_along_axis(
+        perm_k[:, :, None], jnp.minimum(idx_sorted, M - 1), axis=1)
+    inv_q = jnp.argsort(perm_q, axis=-1)                           # (B, N).
+    d2 = jnp.take_along_axis(d2, inv_q[..., None], axis=1)
+    idx = jnp.take_along_axis(idx_orig, inv_q[..., None], axis=1)
+    return (jnp.sqrt(d2) if euclidean else d2), idx.astype(jnp.int32)
 
 
 def _nn1_bidir_kernel(q_ref, qn_ref, k_ref, kn_ref, out_a_ref, out_b_ref,

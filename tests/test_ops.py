@@ -240,3 +240,62 @@ def test_nn1_bidirectional_under_vmap():
     d_a2, d_b2 = ops.nn1_bidirectional(a, b, b_mask=bm)
     np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_a2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_b2), rtol=1e-5)
+
+
+def test_knn_spatial_matches_bruteforce():
+    '''Morton-sorted bbox-pruned kernel: exact distances and (tie-free) indices.'''
+    rng = np.random.RandomState(21)
+    q = rng.randn(2, 700, 3).astype(np.float32) * 2.0
+    kk = rng.randn(2, 1500, 3).astype(np.float32) * 2.0
+    d, i = ops.knn(q, kk, 8, use_pallas=True, spatial=True)
+    for b in range(2):
+        d_ref, i_ref = _np_knn(q[b], kk[b], 8)
+        np.testing.assert_array_equal(np.asarray(i[b]), i_ref)
+        np.testing.assert_allclose(np.asarray(d[b]), d_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_knn_spatial_self_and_masked():
+    rng = np.random.RandomState(22)
+    pts_np = rng.randn(1, 900, 3).astype(np.float32)
+    pts = jnp.asarray(pts_np)
+    # Self-attention path (same array -> one sort): nearest neighbor is self.
+    d, i = ops.knn(pts, pts, 5, use_pallas=True, spatial=True)
+    np.testing.assert_array_equal(np.asarray(i)[0, :, 0], np.arange(900))
+    np.testing.assert_allclose(np.asarray(d)[0, :, 0], 0.0, atol=1e-3)
+    # Masked keys are never returned.
+    mask = rng.rand(1, 900) > 0.4
+    d, i = ops.knn(pts, pts, 5, key_mask=jnp.asarray(mask), use_pallas=True,
+                   spatial=True)
+    d_ref, i_ref = _np_knn(pts_np[0], pts_np[0][mask[0]], 5)
+    valid_inds = np.where(mask[0])[0]
+    np.testing.assert_array_equal(np.asarray(i)[0], valid_inds[i_ref])
+    np.testing.assert_allclose(np.asarray(d)[0], d_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_knn_spatial_clustered_data():
+    '''Clustered far-apart data (the pruning-friendly case) stays exact.
+
+    Indices are compared as per-row SETS with distances to tolerance: at
+    coordinate scale ~10 the |a|^2+|b|^2-2ab expansion (identical to the
+    reference's square_distance f32 numerics) loses ~5e-4 relative precision
+    to cancellation, which can swap the order of near-tied neighbors relative
+    to a direct-norm oracle; the neighbor set itself is unaffected.'''
+    rng = np.random.RandomState(23)
+    centers = rng.randn(8, 3).astype(np.float32) * 10.0
+    kk = (centers[rng.randint(0, 8, 1200)]
+          + rng.randn(1200, 3).astype(np.float32) * 0.3)[None]
+    q = (centers[rng.randint(0, 8, 500)]
+         + rng.randn(500, 3).astype(np.float32) * 0.3)[None]
+    d, i = ops.knn(q, kk, 6, use_pallas=True, spatial=True)
+    d_ref, i_ref = _np_knn(q[0], kk[0], 6)
+    # atol: the expansion's absolute error on d is ~eps*|coord|^2/(2d), i.e.
+    # ~1e-3 for the smallest distances at coordinate scale 10.
+    np.testing.assert_allclose(np.asarray(d)[0], d_ref, rtol=1e-3, atol=3e-3)
+    i_np = np.asarray(i)[0]
+    mismatch = (np.sort(i_np, axis=1) != np.sort(i_ref, axis=1)).any(axis=1)
+    # Allow set differences only where the boundary pair is a numerical
+    # near-tie (|d_k - d_{k+1}| within the cancellation error).
+    d_full = np.linalg.norm(q[0][:, None] - kk[0][None], axis=-1)
+    d7 = np.sort(d_full, axis=1)[:, :7]
+    near_tie = (d7[:, 6] - d7[:, 5]) < 2e-3 * np.maximum(d7[:, 6], 1.0)
+    assert not (mismatch & ~near_tie).any()
