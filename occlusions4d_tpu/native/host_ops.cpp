@@ -11,18 +11,29 @@
 //   o4d_nn1      exact 1-NN distances+indices, blocked for cache locality
 //   o4d_knn      exact kNN (small k) via per-query bounded insertion sort
 
+#include <algorithm>
 #include <cfloat>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
-extern "C" {
+namespace {
 
-// Farthest point sampling over (n, 3) float32 coordinates.
-// out_idx must hold n_out int32. Selection starts at start_idx (deterministic when 0).
-void o4d_fps(const float* xyz, int64_t n, int64_t n_out, int64_t start_idx,
-             int32_t* out_idx, float* scratch_min_d) {
-    if (n <= 0 || n_out <= 0) return;
+// Morton helper: spread the low 10 bits across every third bit.
+inline uint32_t part1by2(uint32_t x) {
+    x &= 0x3ffu;
+    x = (x | (x << 16)) & 0x030000ffu;
+    x = (x | (x << 8)) & 0x0300f00fu;
+    x = (x | (x << 4)) & 0x030c30c3u;
+    x = (x | (x << 2)) & 0x09249249u;
+    return x;
+}
+
+// Plain O(n * n_out) greedy FPS (small-problem path; also the semantics
+// oracle for the chunked variant below).
+void fps_naive(const float* xyz, int64_t n, int64_t n_out, int64_t start_idx,
+               int32_t* out_idx, float* scratch_min_d) {
     for (int64_t i = 0; i < n; i++) scratch_min_d[i] = FLT_MAX;
     int64_t cur = start_idx;
     out_idx[0] = (int32_t)cur;
@@ -42,6 +53,123 @@ void o4d_fps(const float* xyz, int64_t n, int64_t n_out, int64_t start_idx,
         }
         cur = best_i;
         out_idx[s] = (int32_t)cur;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Farthest point sampling over (n, 3) float32 coordinates.
+// out_idx must hold n_out int32. Selection starts at start_idx (deterministic when 0).
+//
+// Large problems use a QuickFPS-style chunked algorithm: points are sorted
+// along a Morton curve into compact chunks with bounding boxes; each chunk
+// tracks the (max, argmax) of its running min-distance field, and a chunk is
+// skipped for an iteration when the squared distance from the new pick to its
+// bbox is >= its stored max (then d(i, pick) >= lb >= max >= min_d[i] for
+// every member, so no update can happen and the stored max/argmax stay
+// valid). The greedy pick sequence is exact; only the scan order used to
+// break exact floating-point argmax ties differs from the naive loop.
+// The dataloader's 14336-of-~170k input FPS drops from ~4 s to tens of ms.
+void o4d_fps(const float* xyz, int64_t n, int64_t n_out, int64_t start_idx,
+             int32_t* out_idx, float* scratch_min_d) {
+    if (n <= 0 || n_out <= 0) return;
+    if (n < 16384 || n_out < 256) {
+        fps_naive(xyz, n, n_out, start_idx, out_idx, scratch_min_d);
+        return;
+    }
+
+    // Morton-sort point order (indices only).
+    float lo[3] = {FLT_MAX, FLT_MAX, FLT_MAX};
+    float hi[3] = {-FLT_MAX, -FLT_MAX, -FLT_MAX};
+    for (int64_t i = 0; i < n; i++) {
+        for (int c = 0; c < 3; c++) {
+            const float v = xyz[i * 3 + c];
+            if (v < lo[c]) lo[c] = v;
+            if (v > hi[c]) hi[c] = v;
+        }
+    }
+    float inv[3];
+    for (int c = 0; c < 3; c++) {
+        const float span = hi[c] - lo[c];
+        inv[c] = span > 1e-12f ? 1023.0f / span : 0.0f;
+    }
+    std::vector<uint64_t> order(n);  // (morton << 32) | original index.
+    for (int64_t i = 0; i < n; i++) {
+        const uint32_t qx = (uint32_t)((xyz[i * 3 + 0] - lo[0]) * inv[0]);
+        const uint32_t qy = (uint32_t)((xyz[i * 3 + 1] - lo[1]) * inv[1]);
+        const uint32_t qz = (uint32_t)((xyz[i * 3 + 2] - lo[2]) * inv[2]);
+        const uint64_t code = part1by2(qx) | (part1by2(qy) << 1)
+                              | (part1by2(qz) << 2);
+        order[i] = (code << 32) | (uint64_t)(uint32_t)i;
+    }
+    std::sort(order.begin(), order.end());
+
+    // SoA in sorted order + per-chunk bboxes.
+    const int64_t C = 512;
+    const int64_t nchunks = (n + C - 1) / C;
+    std::vector<float> px(n), py(n), pz(n), min_d(n, FLT_MAX);
+    std::vector<int32_t> orig(n);
+    std::vector<float> clo(nchunks * 3), chi(nchunks * 3);
+    std::vector<float> cmax(nchunks, FLT_MAX);
+    std::vector<int32_t> cargmax(nchunks, 0);
+    int64_t cur_sorted = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int32_t oi = (int32_t)(order[i] & 0xffffffffu);
+        px[i] = xyz[oi * 3 + 0];
+        py[i] = xyz[oi * 3 + 1];
+        pz[i] = xyz[oi * 3 + 2];
+        orig[i] = oi;
+        if (oi == (int32_t)start_idx) cur_sorted = i;
+    }
+    for (int64_t c = 0; c < nchunks; c++) {
+        const int64_t i0 = c * C, i1 = std::min(n, i0 + C);
+        float l0 = FLT_MAX, l1 = FLT_MAX, l2 = FLT_MAX;
+        float h0 = -FLT_MAX, h1 = -FLT_MAX, h2 = -FLT_MAX;
+        for (int64_t i = i0; i < i1; i++) {
+            l0 = std::min(l0, px[i]); h0 = std::max(h0, px[i]);
+            l1 = std::min(l1, py[i]); h1 = std::max(h1, py[i]);
+            l2 = std::min(l2, pz[i]); h2 = std::max(h2, pz[i]);
+        }
+        clo[c * 3 + 0] = l0; clo[c * 3 + 1] = l1; clo[c * 3 + 2] = l2;
+        chi[c * 3 + 0] = h0; chi[c * 3 + 1] = h1; chi[c * 3 + 2] = h2;
+        cargmax[c] = (int32_t)i0;
+    }
+
+    out_idx[0] = (int32_t)start_idx;
+    for (int64_t s = 1; s < n_out; s++) {
+        const float cx = px[cur_sorted];
+        const float cy = py[cur_sorted];
+        const float cz = pz[cur_sorted];
+        for (int64_t c = 0; c < nchunks; c++) {
+            const float gx = std::max({clo[c * 3 + 0] - cx, cx - chi[c * 3 + 0], 0.0f});
+            const float gy = std::max({clo[c * 3 + 1] - cy, cy - chi[c * 3 + 1], 0.0f});
+            const float gz = std::max({clo[c * 3 + 2] - cz, cz - chi[c * 3 + 2], 0.0f});
+            const float lb2 = gx * gx + gy * gy + gz * gz;
+            if (lb2 >= cmax[c]) continue;  // no member's min_d can change.
+            const int64_t i0 = c * C, i1 = std::min(n, i0 + C);
+            float m = -1.0f;
+            int64_t mi = i0;
+            for (int64_t i = i0; i < i1; i++) {
+                const float dx = px[i] - cx;
+                const float dy = py[i] - cy;
+                const float dz = pz[i] - cz;
+                const float d = dx * dx + dy * dy + dz * dz;
+                const float nd = d < min_d[i] ? d : min_d[i];
+                min_d[i] = nd;
+                if (nd > m) { m = nd; mi = i; }
+            }
+            cmax[c] = m;
+            cargmax[c] = (int32_t)mi;
+        }
+        float best = -1.0f;
+        int64_t best_c = 0;
+        for (int64_t c = 0; c < nchunks; c++) {
+            if (cmax[c] > best) { best = cmax[c]; best_c = c; }
+        }
+        cur_sorted = cargmax[best_c];
+        out_idx[s] = orig[cur_sorted];
     }
 }
 

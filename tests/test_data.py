@@ -242,3 +242,21 @@ def test_loader_thread_pool_matches_serial(tmp_path):
         np.testing.assert_array_equal(ba['pcl_input'], bb['pcl_input'])
         assert [m['idx'] for m in ba['meta_data']] == \
             [m['idx'] for m in bb['meta_data']]
+
+
+def test_fps_host_chunked_matches_naive_sequence():
+    '''The QuickFPS-style chunked path (n >= 16384, n_out >= 256) must produce
+    the exact greedy pick sequence of the naive O(n*n_out) loop.'''
+    from occlusions4d_tpu.native import fps_host
+    rng = np.random.RandomState(5)
+    xyz = rng.rand(20000, 3).astype(np.float32) * 4 - 2
+    n_out, start = 300, 11
+    out = np.empty(n_out, np.int64)
+    out[0] = start
+    min_d = np.full(xyz.shape[0], np.inf, np.float32)
+    for s in range(1, n_out):
+        d = np.sum((xyz - xyz[out[s - 1]]) ** 2, axis=-1).astype(np.float32)
+        min_d = np.minimum(min_d, d)
+        out[s] = int(np.argmax(min_d))
+    got = fps_host(xyz, n_out, start_idx=start, sort_result=False)
+    np.testing.assert_array_equal(np.asarray(got, np.int64), out)
