@@ -34,8 +34,17 @@ MAX_VALO_IDS = 32
 
 
 def _imread(fp):
-    import matplotlib.pyplot as plt
-    return plt.imread(fp)
+    '''PNG -> float array in [0, 1] (dtype-scaled, matching matplotlib.imread's
+    PNG behavior without its per-call overhead - the loader decodes dozens of
+    images per example).'''
+    from PIL import Image
+    with Image.open(fp) as im:
+        arr = np.asarray(im)
+    if arr.dtype == np.uint8:
+        return arr.astype(np.float32) / 255.0
+    if arr.dtype == np.uint16 or arr.dtype == np.int32:  # PIL 'I;16' -> int32.
+        return arr.astype(np.float32) / 65535.0
+    return arr.astype(np.float32)
 
 
 def get_occlusion_rate(scene_dp, src_view):
@@ -73,15 +82,29 @@ def point_cloud_from_rgbd(rgb, depth, cam_RT, cam_K):
     return np.concatenate([pts.T[:, :3], attrs], axis=1)
 
 
+def _rgb_to_hue_sat(rgb):
+    '''Vectorized hue [0, 1) + saturation (matplotlib.colors.rgb_to_hsv
+    semantics, without the per-call masked-array overhead).'''
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = rgb.max(axis=-1)
+    delta = mx - rgb.min(axis=-1)
+    safe = np.where(delta > 0.0, delta, 1.0)
+    h = np.where(mx == r, (g - b) / safe,
+                 np.where(mx == g, 2.0 + (b - r) / safe,
+                          4.0 + (r - g) / safe))
+    h = np.where(delta > 0.0, (h / 6.0) % 1.0, 0.0)
+    s = np.where(mx > 0.0, delta / np.where(mx > 0.0, mx, 1.0), 0.0)
+    return h, s
+
+
 def instance_ids_from_preflat(flat):
     '''Nearest hue-cluster instance ids; background (low saturation) = -1
     (data_greater.py:394-399).'''
-    import matplotlib.colors
-    hsv = matplotlib.colors.rgb_to_hsv(flat)
-    hue = np.round(hsv[..., 0:1] * 360.0)
+    hue, sat = _rgb_to_hue_sat(flat)
+    hue = np.round(hue * 360.0)[..., None]
     ids = np.abs(hue[..., None] - np.asarray(PREFLAT_HUE_CLUSTERS)).argmin(-1)
     ids = ids.astype(np.float32)
-    ids[hsv[..., 1:2] < 0.9] = -1.0
+    ids[sat[..., None] < 0.9] = -1.0
     return ids  # (H, W, 1).
 
 
