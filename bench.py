@@ -12,9 +12,20 @@ vs_baseline is the speedup vs the 2 s north-star target (so > 1.0 beats it).
 '''
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compile cache: the remote-compile tunnel takes minutes per
+# train-step compile; re-runs on this host then hit the cache in seconds.
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jaxcache')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '5')
+
+_T0 = time.time()
+# Soft deadline for the optional train-step extras: whatever happens, the
+# headline dense-eval metric line must be printed.
+_TRAIN_DEADLINE_S = float(os.environ.get('O4D_BENCH_TRAIN_DEADLINE', 2700))
 
 
 def _sync(x):
@@ -153,8 +164,16 @@ def main():
 
     # Train-step latency (driver-witnessed README numbers): gv1 scale and the
     # BASELINE.json scale-out config n_points=57344, one chip, f32, B=1.
-    train_gv1_ms = _time_train_step(cfg, n_points=14336)
-    train_57k_ms = _time_train_step(cfg, n_points=57344)
+    # Each config is guarded by the soft deadline (a cold compile through the
+    # remote-compile tunnel takes minutes per config; the headline metric must
+    # survive a bounded run).
+    def _maybe_train(fn):
+        if time.time() - _T0 > _TRAIN_DEADLINE_S:
+            return None
+        return round(fn(), 1)
+
+    train_gv1_ms = _maybe_train(lambda: _time_train_step(cfg, n_points=14336))
+    train_57k_ms = _maybe_train(lambda: _time_train_step(cfg, n_points=57344))
 
     # cv1 (CARLA, /root/reference/README.md:41): layer norm, abstract_levels 2
     # (2124-point abstract cloud in the decoder), 13 semantic classes, and the
@@ -166,7 +185,8 @@ def main():
         cube_mode=4, abstract_levels=2, semantic_classes=13,
         point_sample_bias='low_moving_ivalo_sembal', air_sampling_ratio=1.4)
     verify_args(cv1, is_train=True)
-    train_cv1_ms = _time_train_step(cv1, n_points=14336, data_kind='carla')
+    train_cv1_ms = _maybe_train(
+        lambda: _time_train_step(cv1, n_points=14336, data_kind='carla'))
 
     result = {
         'metric': 'dense_scene_524288_grid_queries_latency',
@@ -180,9 +200,10 @@ def main():
             'actual_grid_queries': int(n_queries),
             'implicit_batch_size': 32768,
             # Fused-VJP decoder path (bf16 kernels), f32 params/optimizer.
-            'train_step_ms_gv1_b1': round(train_gv1_ms, 1),
-            'train_step_ms_n57344_b1': round(train_57k_ms, 1),
-            'train_step_ms_cv1_b1': round(train_cv1_ms, 1),
+            # None = skipped by the soft deadline, not a failure.
+            'train_step_ms_gv1_b1': train_gv1_ms,
+            'train_step_ms_n57344_b1': train_57k_ms,
+            'train_step_ms_cv1_b1': train_cv1_ms,
             'output_checksum': float(jnp.mean(out)),  # device-side reduce.
         },
     }
