@@ -63,10 +63,13 @@ def _time_train_step(cfg, n_points, batch_size=1, steps=3, trials=2,
         tgt[..., 5] = rng.randint(0, 23, (B, T, M))
         tgt[..., 6] = rng.randint(0, 4, (B, T, M))
         tgt[..., 7:10] = rng.rand(B, T, M, 3)
+    # Production valo capacity differs per dataset (greater.py:33 /carla.py:31);
+    # the ivalo bias compares instances against all R slots, so R must match.
+    R = 32 if data_kind == 'greater' else 256
     batch = dict(
         pcl_input=(rng.rand(B, N, 8) * 2 - 1).astype(np.float32),
         pcl_target=tgt, pcl_target_valid=np.ones((B, T, M), bool),
-        valo_ids=np.tile(np.arange(32, dtype=np.int32), (B, 1)),
+        valo_ids=np.tile(np.arange(R, dtype=np.int32), (B, 1)),
         num_valo_ids=np.full((B,), 8, np.int32))
 
     mesh = make_mesh(1)
@@ -170,7 +173,12 @@ def main():
     def _maybe_train(fn):
         if time.time() - _T0 > _TRAIN_DEADLINE_S:
             return None
-        return round(fn(), 1)
+        try:
+            return round(fn(), 1)
+        except Exception as exc:  # A failed extra must not lose the headline.
+            import sys
+            print(f'train-step extra failed: {exc!r}', file=sys.stderr)
+            return None
 
     train_gv1_ms = _maybe_train(lambda: _time_train_step(cfg, n_points=14336))
     train_57k_ms = _maybe_train(lambda: _time_train_step(cfg, n_points=57344))

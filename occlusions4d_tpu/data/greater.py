@@ -39,6 +39,8 @@ def _imread(fp):
     images per example).'''
     from PIL import Image
     with Image.open(fp) as im:
+        if im.mode in ('P', 'PA'):  # palettized: matplotlib converts to RGBA.
+            im = im.convert('RGBA')
         arr = np.asarray(im)
     if arr.dtype == np.uint8:
         return arr.astype(np.float32) / 255.0

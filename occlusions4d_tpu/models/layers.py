@@ -81,13 +81,17 @@ class VectorAttention(nn.Module):
         :param key_mask (B, M) bool: optional validity of the key set.
         :return (B, N, D).
         '''
-        if x2 is None:
+        self_attention = x2 is None
+        if self_attention:
             x2, pos2 = x, pos
 
         # kNN graph build (stop_gradient: a data-dependent gather pattern, like the
-        # reference's non-differentiable argsort).
+        # reference's non-differentiable argsort). For self-attention, pass the
+        # SAME array object as query and key set: the spatial kNN path keys its
+        # one-sort reuse on object identity (ops/knn.py), and two stop_gradient
+        # calls would produce distinct objects and a second Morton sort.
         pos = jax.lax.stop_gradient(pos)
-        pos2_sg = jax.lax.stop_gradient(pos2)
+        pos2_sg = pos if self_attention else jax.lax.stop_gradient(pos2)
         _, knn_idx = knn(pos, pos2_sg, self.num_neighbors, key_mask=key_mask,
                          block_size=self.knn_block_size)              # (B, N, K).
         knn_xyz = gather_neighbors(pos2_sg[..., :3], knn_idx)          # (B, N, K, 3).

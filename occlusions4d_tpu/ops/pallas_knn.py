@@ -272,10 +272,15 @@ def knn_pallas_spatial(query, keys, k, *, key_mask=None, tile_n=256,
     sets are sorted along a space-filling curve (device-side argsort), so
     query tiles and key blocks become compact spatial cells and the kernel
     skips every key block whose bounding box provably cannot contribute to
-    any query row's top-k. Results are identical to knn_pallas up to the
-    index returned among exactly-equidistant duplicate points (the neighbor
-    distance multiset is exact; the reference's own tie order is an argsort
-    artifact). This is the large-N*M path: at n_points=57344 self-attention
+    any query row's top-k. The pruning bound is exact with respect to the
+    kernel's own distances; those use the same |b|^2 - 2ab expansion as
+    knn_pallas (and the reference's square_distance), whose f32 cancellation
+    error is ~eps * |coord|^2. Consequences: the index returned among
+    exactly-equidistant duplicates can differ from the plain kernel's
+    argsort order, and neighbors whose distances differ by less than the
+    expansion's own rounding error may swap in or out at the top-k boundary
+    (see tests/test_ops.py::test_knn_spatial_clustered_data). This is the
+    large-N*M path: at n_points=57344 self-attention
     (3.3e9 candidate pairs) the plain kernel's extraction is VPU-bound.
     :param same (bool or None): queries and keys are the same point set
         (self-attention) - reuses one sort. Auto-detected by identity if None.
