@@ -36,6 +36,9 @@ class SharedConfig:
     # Misc (args.py:46-57). device 'tpu'/'cpu' replaces the reference's 'cuda'/'cpu'.
     device: str = 'tpu'
     num_workers: int = -1
+    # 'thread' (GIL-light decode path) or 'process' (fork workers + shared
+    # multiprocessing.Array counters, the reference DataLoader model).
+    worker_mode: str = 'thread'
     seed: int = 1830
     mixed_precision: bool = False  # bf16 compute on TPU (fp16+GradScaler on GPU).
 
@@ -184,6 +187,7 @@ def _add_fields(parser, cls):
 def verify_args(args, is_train=False):
     '''Validation mirroring /root/reference/args.py:87-114.'''
     assert args.device in ('tpu', 'cpu', 'cuda')
+    assert args.worker_mode in ('thread', 'process')
     assert args.sample_bias in ('none', 'move', 'occl', 'move_occl', 'occl_move')
 
     if args.num_workers < 0:

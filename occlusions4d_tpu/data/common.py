@@ -37,14 +37,26 @@ def example_rng(seed, epoch, index):
 
 
 class CounterBoard:
-    '''Per-(scene, frame) usage counters shared across loader threads (the
-    single-process analogue of the reference's RLock-guarded multiprocessing.Array,
-    data_greater.py:167-170).'''
+    '''Per-(scene, frame) usage counters shared across loader workers.
 
-    def __init__(self, num_scenes, max_frames=10101):
+    Default (shared=False): an in-process array + RLock, the single-process
+    analogue of the reference's RLock-guarded multiprocessing.Array
+    (data_greater.py:167-170) - correct for the thread-pool loader.
+    shared=True backs the counters with a multiprocessing.Array so fork-based
+    worker *processes* (Loader worker_mode='process') see one board, exactly
+    like the reference's DataLoader workers.'''
+
+    def __init__(self, num_scenes, max_frames=10101, shared=False):
         self.max_frames = max_frames
-        self.counts = np.zeros((num_scenes, max_frames), np.int32)
-        self.lock = threading.RLock()
+        if shared:
+            import multiprocessing
+            self._mp_arr = multiprocessing.Array('i', int(num_scenes * max_frames))
+            self.counts = np.frombuffer(
+                self._mp_arr.get_obj(), np.int32).reshape(num_scenes, max_frames)
+            self.lock = self._mp_arr.get_lock()
+        else:
+            self.counts = np.zeros((num_scenes, max_frames), np.int32)
+            self.lock = threading.RLock()
 
     def try_claim(self, scene_idx, frame_start, ignore_taken_prob=0.0, rng=None):
         '''Claim a clip if free. With probability ignore_taken_prob the taken-check is

@@ -11,7 +11,7 @@ parallel.shard_batch).
 import collections
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
 
@@ -19,6 +19,23 @@ from .greater import GreaterDataset
 from .carla import CarlaDataset
 
 __all__ = ['Loader', 'collate', 'create_train_val_loaders', 'create_test_loader']
+
+# Fork-inherited dataset for process workers (set in the parent immediately
+# before the fork; the child reads its copy - no pickling of the dataset, and
+# multiprocessing.Array-backed counters stay genuinely shared).
+_FORK_DATASET = None
+
+
+def _proc_worker_init():
+    global _WORKER_DATASET
+    _WORKER_DATASET = _FORK_DATASET
+
+
+def _proc_get(epoch, index):
+    ds = _WORKER_DATASET
+    if hasattr(ds, 'set_epoch'):
+        ds.set_epoch(epoch)
+    return ds[index]
 
 _STACK_KEYS = ('pcl_input', 'pcl_input_sem', 'pcl_target', 'pcl_target_valid',
                'valo_ids', 'num_valo_ids', 'cam_RT', 'cam_K', 'rgb', 'depth',
@@ -38,16 +55,27 @@ def collate(examples):
 class Loader:
     '''Epoch-based iterable with shuffling, drop_last, and prefetch.
 
-    num_workers > 1 decodes examples through a thread pool (the torch
-    DataLoader-worker-process replacement: the hot host ops - C++ FPS/kNN via
-    ctypes, numpy image decode - release the GIL, so threads scale and shared
-    state like the occlusion-bias counter needs no multiprocessing.Array).
-    Batches are always yielded in deterministic index order regardless of worker
+    num_workers > 1 decodes examples through a worker pool. worker_mode:
+      * 'thread' (default): a thread pool - the hot host ops (C++ FPS/kNN via
+        ctypes, PIL decode, most numpy) release the GIL, and shared state like
+        the occlusion-bias counter needs no multiprocessing machinery.
+      * 'process': fork-based worker processes, the reference's DataLoader
+        model (/root/reference/data/data.py:62-67) - full parallelism for the
+        Python-level portions of example decoding on many-core hosts. The
+        dataset is inherited via fork (never pickled); occlusion-bias counters
+        must be constructed with shared_counters=True so all workers see one
+        multiprocessing.Array board. Fork the pool BEFORE initializing the
+        accelerator runtime (the factory-built loaders are created before the
+        Trainer in train.main, satisfying this).
+    Per-example RNG is derived from (seed, epoch, index) in both modes, so the
+    produced batches are bit-identical across worker modes and counts; batches
+    are always yielded in deterministic index order regardless of worker
     completion order.
     '''
 
     def __init__(self, dataset, batch_size, shuffle=True, drop_last=True,
-                 prefetch=2, seed=0, num_workers=0):
+                 prefetch=2, seed=0, num_workers=0, worker_mode='thread'):
+        assert worker_mode in ('thread', 'process')
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,6 +83,7 @@ class Loader:
         self.prefetch = prefetch
         self.seed = seed
         self.num_workers = num_workers
+        self.worker_mode = worker_mode
 
     @property
     def steps_per_epoch(self):
@@ -86,7 +115,20 @@ class Loader:
 
         def producer_pool():
             window = self.num_workers + self.prefetch * self.batch_size
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            if self.worker_mode == 'process':
+                import multiprocessing
+                global _FORK_DATASET
+                _FORK_DATASET = self.dataset
+                pool_cm = ProcessPoolExecutor(
+                    self.num_workers,
+                    mp_context=multiprocessing.get_context('fork'),
+                    initializer=_proc_worker_init)
+                submit = lambda pool, i: pool.submit(_proc_get, epoch_idx, i)
+            else:
+                pool_cm = ThreadPoolExecutor(self.num_workers)
+                submit = lambda pool, i: pool.submit(
+                    self.dataset.__getitem__, i)
+            with pool_cm as pool:
                 pending = collections.deque()   # (batch_futures) in order.
                 batch_iter = iter(batches())
                 inflight = 0
@@ -97,8 +139,7 @@ class Loader:
                         idxs = next(batch_iter, None)
                         if idxs is None:
                             return False
-                        futs = [pool.submit(self.dataset.__getitem__, int(i))
-                                for i in idxs]
+                        futs = [submit(pool, int(i)) for i in idxs]
                         pending.append(futs)
                         inflight += len(futs)
                     return True
@@ -169,12 +210,17 @@ def create_train_val_loaders(cfg, logger):
     data_kind = 'carla' if 'carla' in cfg.data_path.lower() else 'greater'
     dset_args = _train_dset_args(cfg, data_kind, logger)
     cls = CarlaDataset if data_kind == 'carla' else GreaterDataset
+    mode = getattr(cfg, 'worker_mode', 'thread')
+    if mode == 'process':
+        dset_args = dict(dset_args, shared_counters=True)
     train_dset = cls(cfg.data_path, logger, stage='train', seed=cfg.seed, **dset_args)
     val_dset = cls(cfg.data_path, logger, stage='val', seed=cfg.seed + 1, **dset_args)
     train_loader = Loader(train_dset, cfg.batch_size, shuffle=True, drop_last=True,
-                          seed=cfg.seed, num_workers=cfg.num_workers)
+                          seed=cfg.seed, num_workers=cfg.num_workers,
+                          worker_mode=mode)
     val_loader = Loader(val_dset, cfg.batch_size, shuffle=True, drop_last=True,
-                        seed=cfg.seed + 1, num_workers=cfg.num_workers)
+                        seed=cfg.seed + 1, num_workers=cfg.num_workers,
+                        worker_mode=mode)
     return data_kind, train_loader, val_loader, dset_args
 
 

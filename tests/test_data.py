@@ -260,3 +260,45 @@ def test_fps_host_chunked_matches_naive_sequence():
         out[s] = int(np.argmax(min_d))
     got = fps_host(xyz, n_out, start_idx=start, sort_result=False)
     np.testing.assert_array_equal(np.asarray(got, np.int64), out)
+
+
+def test_loader_process_pool_matches_thread(greater_root):
+    '''worker_mode='process' (fork workers, the reference DataLoader model)
+    yields bit-identical batches to the thread pool: per-example RNG is
+    (seed, epoch, index)-derived, so worker topology cannot change content.'''
+    def make_loader(mode):
+        dset = GreaterDataset(greater_root, _logger(), stage='train',
+                              video_length=4, frame_skip=2, n_points_rnd=1024,
+                              n_fps_input=256, n_fps_target=-512,
+                              pcl_input_frames=4, pcl_target_frames=2,
+                              track_mode='random', seed=7,
+                              shared_counters=(mode == 'process'))
+        return Loader(dset, batch_size=2, shuffle=True, seed=7, num_workers=2,
+                      worker_mode=mode)
+
+    thread_batches = [b for _, b in zip(range(2), make_loader('thread').epoch(0))]
+    proc_batches = [b for _, b in zip(range(2), make_loader('process').epoch(0))]
+    assert len(thread_batches) == len(proc_batches) == 2
+    for bt, bp in zip(thread_batches, proc_batches):
+        for key in ('pcl_input', 'pcl_target', 'pcl_target_valid', 'valo_ids'):
+            np.testing.assert_array_equal(bt[key], bp[key])
+
+
+def test_counter_board_shared_across_forks(greater_root):
+    '''shared=True CounterBoard claims are visible across fork boundaries.'''
+    import multiprocessing
+    from occlusions4d_tpu.data.common import CounterBoard
+    board = CounterBoard(2, max_frames=16, shared=True)
+    assert board.try_claim(0, 3)
+
+    def child(b, q):
+        q.put(b.try_claim(0, 3))   # already taken by the parent.
+        q.put(b.try_claim(1, 5))   # free.
+
+    ctx = multiprocessing.get_context('fork')
+    q = ctx.Queue()
+    p = ctx.Process(target=child, args=(board, q))
+    p.start(); p.join(timeout=60)
+    assert q.get(timeout=10) is False
+    assert q.get(timeout=10) is True
+    assert board.counts[1, 5] == 1  # child's claim visible in the parent.
