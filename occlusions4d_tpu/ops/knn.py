@@ -117,11 +117,9 @@ def _knn_batched(query, keys, k, key_mask=None, block_size=4096, euclidean=True)
 # dense top_k on TPU (measured crossover ~2M on v5e; at 14336^2 it is 17x faster).
 _PALLAS_MIN_ELEMS = 2 ** 21
 # Above this, the plain kernel's O(K*N*M) VPU extraction dominates and the
-# Morton-sorted bbox-pruned kernel wins despite its sort/unsort overhead
-# (57344^2 self-attention: 117 -> 63 ms; at 14336^2 the two kernels tie, so
-# the threshold sits just above it and the reference scale keeps the plain
-# kernel's exact argsort tie order).
-_SPATIAL_MIN_ELEMS = 2 ** 28
+# Hilbert-sorted bbox-pruned kernel wins despite its sort/unsort overhead
+# (57344^2 self-attention: 117 -> 45 ms; 14336^2: 14.8 -> 13.1 ms).
+_SPATIAL_MIN_ELEMS = 2 ** 27
 
 
 def knn(query, keys, k, *, key_mask=None, block_size=4096, euclidean=True,
