@@ -127,7 +127,16 @@ class TrainConfig(SharedConfig):
     query_parallel: int = 1       # chips for query-axis sharding at eval.
     # Fused Pallas decoder (fwd + custom-VJP bwd kernels) for the train step:
     # 'auto' = on for TPU backends on supported configs, 'on', 'off'.
+    # NOTE: when active, the decoder's forward/backward compute runs in the
+    # kernels' dtype (fused_decoder_dtype below) regardless of mixed_precision
+    # - the bf16 kernel path is gradient-parity-tested vs the f32 module path
+    # (tests/test_pallas_ops.py) and is what the published step timings use.
+    # Set fused_decoder='off' (or fused_decoder_dtype='f32') for strict
+    # mixed_precision=False numerics on the decoder too.
     fused_decoder: str = 'auto'
+    # Compute dtype inside the fused decoder kernels: 'auto' = bf16 on TPU
+    # (f32 elsewhere), 'bf16', 'f32'.
+    fused_decoder_dtype: str = 'auto'
     export_visuals: bool = False  # load images for early-epoch gallery exports.
     viz_interval: int = 80        # intermediate-export cadence (pipeline.py:92-94).
     tag: str = ''
@@ -209,6 +218,7 @@ def verify_args(args, is_train=False):
         assert args.local_implicit_mode in ('none', 'feature', 'attention')
         assert args.color_mode in ('rgb', 'rgb_nosigmoid', 'hsv', 'bins')
         assert args.fused_decoder in ('auto', 'on', 'off')
+        assert args.fused_decoder_dtype in ('auto', 'bf16', 'f32')
     else:
         assert args.point_sample_mode in ('random', 'grid')
         assert args.eval_precision in ('auto', 'fast', 'f32', 'highest')

@@ -9,6 +9,7 @@ parallel.shard_batch).
 '''
 
 import collections
+import itertools
 import queue
 import threading
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
@@ -20,15 +21,20 @@ from .carla import CarlaDataset
 
 __all__ = ['Loader', 'collate', 'create_train_val_loaders', 'create_test_loader']
 
-# Fork-inherited dataset for process workers (set in the parent immediately
-# before the fork; the child reads its copy - no pickling of the dataset, and
-# multiprocessing.Array-backed counters stay genuinely shared).
-_FORK_DATASET = None
+# Fork-inherited datasets for process workers. Each process-mode Loader
+# registers its dataset under a unique key in the parent BEFORE forking its
+# pool; children resolve the key from their fork-inherited copy of the
+# registry (no pickling of the dataset, multiprocessing.Array-backed counters
+# stay genuinely shared, and concurrently-iterated loaders cannot clobber each
+# other the way a single module-level slot could).
+_FORK_REGISTRY = {}
+_FORK_KEYS = itertools.count()
+_WORKER_DATASET = None
 
 
-def _proc_worker_init():
+def _proc_worker_init(key):
     global _WORKER_DATASET
-    _WORKER_DATASET = _FORK_DATASET
+    _WORKER_DATASET = _FORK_REGISTRY[key]
 
 
 def _proc_get(epoch, index):
@@ -64,9 +70,13 @@ class Loader:
         Python-level portions of example decoding on many-core hosts. The
         dataset is inherited via fork (never pickled); occlusion-bias counters
         must be constructed with shared_counters=True so all workers see one
-        multiprocessing.Array board. Fork the pool BEFORE initializing the
-        accelerator runtime (the factory-built loaders are created before the
-        Trainer in train.main, satisfying this).
+        multiprocessing.Array board. The pool is forked EAGERLY at Loader
+        construction (a warm-up submit pins every worker fork to __init__,
+        which Python 3.12's fork-context executor otherwise defers to the
+        first real submit) and reused across epochs - so building loaders
+        before the Trainer in train.main means no fork ever happens after the
+        JAX/TPU runtime holds threads. Call close() (or drop the Loader) to
+        release the pool.
     Per-example RNG is derived from (seed, epoch, index) in both modes, so the
     produced batches are bit-identical across worker modes and counts; batches
     are always yielded in deterministic index order regardless of worker
@@ -84,6 +94,34 @@ class Loader:
         self.seed = seed
         self.num_workers = num_workers
         self.worker_mode = worker_mode
+        self._pool = None
+        self._fork_key = None
+        if worker_mode == 'process' and num_workers > 1:
+            self._start_process_pool()
+
+    def _start_process_pool(self):
+        import multiprocessing
+        self._fork_key = next(_FORK_KEYS)
+        _FORK_REGISTRY[self._fork_key] = self.dataset
+        self._pool = ProcessPoolExecutor(
+            self.num_workers,
+            mp_context=multiprocessing.get_context('fork'),
+            initializer=_proc_worker_init, initargs=(self._fork_key,))
+        # Force the forks NOW: with a fork context, CPython launches all
+        # max_workers processes on the first submit (never on demand), so one
+        # warm-up task makes construction the fork point.
+        self._pool.submit(int, 0).result()
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+        if self._fork_key is not None:
+            _FORK_REGISTRY.pop(self._fork_key, None)
+            self._fork_key = None
+
+    def __del__(self):
+        self.close()
 
     @property
     def steps_per_epoch(self):
@@ -115,20 +153,14 @@ class Loader:
 
         def producer_pool():
             window = self.num_workers + self.prefetch * self.batch_size
+            own_pool = None
             if self.worker_mode == 'process':
-                import multiprocessing
-                global _FORK_DATASET
-                _FORK_DATASET = self.dataset
-                pool_cm = ProcessPoolExecutor(
-                    self.num_workers,
-                    mp_context=multiprocessing.get_context('fork'),
-                    initializer=_proc_worker_init)
-                submit = lambda pool, i: pool.submit(_proc_get, epoch_idx, i)
+                pool = self._pool  # persistent, forked at construction.
+                submit = lambda i: pool.submit(_proc_get, epoch_idx, i)
             else:
-                pool_cm = ThreadPoolExecutor(self.num_workers)
-                submit = lambda pool, i: pool.submit(
-                    self.dataset.__getitem__, i)
-            with pool_cm as pool:
+                own_pool = ThreadPoolExecutor(self.num_workers)
+                submit = lambda i: own_pool.submit(self.dataset.__getitem__, i)
+            try:
                 pending = collections.deque()   # (batch_futures) in order.
                 batch_iter = iter(batches())
                 inflight = 0
@@ -139,7 +171,7 @@ class Loader:
                         idxs = next(batch_iter, None)
                         if idxs is None:
                             return False
-                        futs = [submit(pool, int(i)) for i in idxs]
+                        futs = [submit(int(i)) for i in idxs]
                         pending.append(futs)
                         inflight += len(futs)
                     return True
@@ -150,6 +182,9 @@ class Loader:
                     q.put(collate([f.result() for f in futs]))
                     inflight -= len(futs)
                     refill()
+            finally:
+                if own_pool is not None:
+                    own_pool.shutdown(wait=False, cancel_futures=True)
 
         def producer():
             try:
@@ -236,6 +271,12 @@ def create_test_loader(cfg, dset_args, logger):
     dset_args['verbose'] = 'dbg' in cfg.name
     dset_args['use_json'] = cfg.use_json
 
+    # worker_mode is a SharedConfig field: honor it at test time too, and make
+    # shared_counters consistent with the mode actually used here (the
+    # checkpoint-stored dset_args may carry the train run's value).
+    mode = getattr(cfg, 'worker_mode', 'thread')
+    dset_args['shared_counters'] = (mode == 'process' and cfg.num_workers > 1)
+
     data_kind = 'carla' if 'carla' in cfg.data_path.lower() else 'greater'
     if data_kind == 'carla':
         dset_args['oversample_vehped_target'] = False
@@ -249,5 +290,5 @@ def create_test_loader(cfg, dset_args, logger):
         dset = GreaterDataset(cfg.data_path, logger, stage='test', seed=cfg.seed,
                               **dset_args)
     loader = Loader(dset, 1, shuffle=False, drop_last=False, seed=cfg.seed,
-                    num_workers=cfg.num_workers)
+                    num_workers=cfg.num_workers, worker_mode=mode)
     return data_kind, loader

@@ -65,7 +65,8 @@ class TrainPipeline:
     '''Pure-function training forward. Construct once; call .loss / .forward in jit.'''
 
     def __init__(self, encoder, decoder, sampler_cfg: SamplerConfig,
-                 cfg: PipelineConfig, remat=True, fused_decoder='auto'):
+                 cfg: PipelineConfig, remat=True, fused_decoder='auto',
+                 fused_decoder_dtype='auto'):
         '''
         :param fused_decoder ('auto'|'on'|'off'): run the per-frame field
             evaluation through the fused Pallas kernels with their custom-VJP
@@ -76,6 +77,11 @@ class TrainPipeline:
             direction. 'auto' = on for TPU backends when the configuration is
             covered (supports_fused). Gradient parity vs the module path is
             asserted by tests/test_pallas_ops.py::test_fused_field_grads_*.
+        :param fused_decoder_dtype ('auto'|'bf16'|'f32'): compute dtype inside
+            the fused kernels. 'auto' = bf16 on TPU, f32 elsewhere. When the
+            fused path is active this governs the decoder's train numerics
+            regardless of any model-level mixed_precision setting (see
+            config.py TrainConfig.fused_decoder).
         '''
         from .models.fused import fused_field_apply, supports_fused
         self.encoder = encoder
@@ -88,8 +94,10 @@ class TrainPipeline:
         use_fused = use_fused and supports_fused(decoder)
         self.fused_decoder = use_fused
         if use_fused:
-            cd = (jnp.bfloat16 if jax.default_backend() == 'tpu'
-                  else jnp.float32)
+            cd = {'bf16': jnp.bfloat16, 'f32': jnp.float32}.get(
+                fused_decoder_dtype,
+                jnp.bfloat16 if jax.default_backend() == 'tpu'
+                else jnp.float32)
             # No outer remat: the custom backward kernels recompute the
             # forward per query tile internally (VMEM-bounded), and the saved
             # residuals are just the kernel inputs.

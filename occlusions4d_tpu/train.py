@@ -178,9 +178,10 @@ class Trainer:
             past_frames=cfg.past_frames, future_frames=cfg.future_frames,
             density_lw=cfg.density_lw, color_lw=cfg.color_lw,
             segmentation_lw=cfg.segmentation_lw, tracking_lw=cfg.tracking_lw)
-        self.pipeline = TrainPipeline(self.encoder, self.decoder,
-                                      SamplerConfig(**self.sampler_args), pipe_cfg,
-                                      fused_decoder=cfg.fused_decoder)
+        self.pipeline = TrainPipeline(
+            self.encoder, self.decoder, SamplerConfig(**self.sampler_args),
+            pipe_cfg, fused_decoder=cfg.fused_decoder,
+            fused_decoder_dtype=getattr(cfg, 'fused_decoder_dtype', 'auto'))
         self.state = None
         self._train_step = None
         self._eval_step = None
@@ -248,6 +249,7 @@ class Trainer:
 
         data_iter = iter(data_iter)
         cur_step = -1
+        prev_guard = None  # (grads_finite, params_finite) of the last train step.
         while True:
             cur_step += 1
             if num_steps is not None and cur_step >= num_steps:
@@ -256,6 +258,21 @@ class Trainer:
                 batch = next(data_iter, None)
             if batch is None:
                 break
+            # Per-step NaN guard without a same-step sync stall
+            # (/root/reference/train.py:112-122 checks every step): the
+            # previous step's on-device flags are fetched while THIS step's
+            # batch was being loaded, so by now the device is (almost always)
+            # done and the read is free - and the poison-pill raise still
+            # happens before the next optimizer update is dispatched.
+            if prev_guard is not None:
+                with timer.phase('guard'):
+                    g_fin, p_fin = (bool(np.asarray(prev_guard[0])),
+                                    bool(np.asarray(prev_guard[1])))
+                prev_guard = None
+                if not g_fin:
+                    self.logger.error('NaN/Inf gradient detected! Step skipped.')
+                if not p_fin:
+                    raise RuntimeError('NaN model parameter detected!')
             rng, k = jax.random.split(rng)
             try:
                 # meta_data and image stacks stay on host (bookkeeping / visuals,
@@ -278,6 +295,8 @@ class Trainer:
             with timer.phase('step'):
                 if is_train:
                     self.state, metrics = self._train_step(self.state, batch, k)
+                    prev_guard = (metrics['grads_finite'],
+                                  metrics['params_finite'])
                 else:
                     metrics = self._eval_step(self.state, batch, k)
 
@@ -287,13 +306,10 @@ class Trainer:
                     self._export_intermediates(epoch, stage, cur_step, batch,
                                                host_images, meta_list, k)
 
-            if cur_step % 32 == 0:  # host sync for guards + console cadence.
+            if cur_step % 32 == 0:  # host sync for scalar logging cadence only
+                #                     (NaN guards run per step, above).
                 with timer.phase('sync'):
                     m = {k2: np.asarray(v) for k2, v in metrics.items()}
-                if is_train and not bool(m['grads_finite']):
-                    self.logger.error('NaN/Inf gradient detected! Step skipped.')
-                if is_train and not bool(m['params_finite']):
-                    raise RuntimeError('NaN model parameter detected!')
                 loss_terms = {k2: float(v) for k2, v in m.items()
                               if k2.startswith('loss_')}
                 self.logger.handle_step(epoch, stage, cur_step, int(m.get('step', 0))
@@ -305,6 +321,11 @@ class Trainer:
                                           float(m['total_loss']), remember=True)
                 metrics_hist.append(m)
 
+        if prev_guard is not None:  # trailing-edge guard for the final step.
+            if not bool(np.asarray(prev_guard[0])):
+                self.logger.error('NaN/Inf gradient detected! Step skipped.')
+            if not bool(np.asarray(prev_guard[1])):
+                raise RuntimeError('NaN model parameter detected!')
         self.logger.info(f'[{stage}] epoch {epoch} finished in '
                          f'{time.time() - start:.1f}s')
         timer.report(self.logger, prefix=f'[{stage}] ')

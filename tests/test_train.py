@@ -324,3 +324,69 @@ def test_carla_cv1_flavor_train_step(tmp_path_factory):
     assert np.isfinite(float(metrics['total_loss']))
     # The segmentation objective is live at this config.
     assert float(metrics['loss_segm']) > 0.0
+
+
+def test_per_step_nan_param_guard(trained):
+    '''The NaN-parameter poison pill fires within ONE step of corruption (the
+    reference checks every step, /root/reference/train.py:112-122): params are
+    poisoned while step 2's batch is being fetched, step 2 is the last update
+    dispatched, and the raise lands BEFORE step 3's optimizer update - with no
+    per-step device sync (the guard reads the previous step's flags).'''
+    from occlusions4d_tpu.utils.logvis import StepLogger
+    cfg, trainer, batches = trained
+    # Snapshot (not alias): the train step donates its input state buffers.
+    state0 = jax.tree_util.tree_map(jnp.copy, trainer.state)
+    step0 = int(np.asarray(state0['step']))
+    orig_logger = trainer.logger
+    trainer.logger = StepLogger(context='nan_param', batch_size=cfg.batch_size)
+
+    consumed = []
+
+    def gen():
+        for i in range(6):
+            if i == 2:  # simulate an overflowed update landing during step 1.
+                params = trainer.state['params']
+                leaves, treedef = jax.tree_util.tree_flatten(params)
+                leaves[0] = leaves[0] * jnp.nan
+                trainer.state['params'] = jax.tree_util.tree_unflatten(
+                    treedef, leaves)
+            consumed.append(i)
+            yield batches[i % len(batches)]
+
+    try:
+        with pytest.raises(RuntimeError, match='NaN model parameter'):
+            trainer.run_epoch(0, 'train', gen(), num_steps=6)
+    finally:
+        trainer.logger = orig_logger
+    # Steps 0, 1, 2 dispatched; the guard caught step 2's non-finite params
+    # before step 3's update could be dispatched.
+    assert int(np.asarray(trainer.state['step'])) == step0 + 3
+    assert consumed == [0, 1, 2, 3]  # batch 3 fetched, its step never ran.
+    trainer.state = state0  # restore for sibling tests (module-scoped fixture).
+
+
+def test_per_step_nan_grad_skip_and_log(trained):
+    '''A NaN-producing batch yields non-finite gradients: the update is skipped
+    on device (params stay finite and unchanged) and the error is logged on the
+    very next iteration, not at the 32-step logging cadence.'''
+    from occlusions4d_tpu.utils.logvis import StepLogger
+    cfg, trainer, batches = trained
+    state0 = trainer.state
+
+    errors = []
+    orig_logger = trainer.logger
+    trainer.logger = StepLogger(context='nan_grad', batch_size=cfg.batch_size)
+    trainer.logger.error = lambda msg: errors.append(str(msg))
+    try:
+        bad = {k: (np.full_like(v, np.nan) if k == 'pcl_input' else v)
+               for k, v in batches[0].items() if k != 'meta_data'}
+        bad['meta_data'] = batches[0]['meta_data']
+        feed = [batches[0], bad, batches[1]]
+        trainer.run_epoch(0, 'train', iter(feed), num_steps=3)
+    finally:
+        trainer.logger = orig_logger
+
+    assert any('NaN/Inf gradient' in e for e in errors), errors
+    finite = [bool(np.all(np.isfinite(np.asarray(p))))
+              for p in jax.tree_util.tree_leaves(trainer.state['params'])]
+    assert all(finite)
