@@ -25,7 +25,8 @@ from ..ops.bounds import greater_bounds, cuboid_mask, greater_floor_mask
 from ..utils.misc import accumulate_pcl_time, merge_pcl_views
 
 __all__ = ['GreaterDataset', 'get_occlusion_rate', 'MAX_DEPTH_CLIP',
-           'PREFLAT_HUE_CLUSTERS', 'MAX_VALO_IDS', 'point_cloud_from_rgbd']
+           'PREFLAT_HUE_CLUSTERS', 'MAX_VALO_IDS', 'point_cloud_from_rgbd',
+           'greater_frame_points']
 
 MAX_DEPTH_CLIP = 32.0
 # Known preflat hue cluster centers, degrees (data_greater.py:22-23).
@@ -59,6 +60,35 @@ def get_occlusion_rate(scene_dp, src_view):
     return np.clip(rate, 0.0, 1.0)
 
 
+def _inverse_cams(cam_RT, cam_K):
+    '''Inverse camera matrices via the same 4x4 homogeneous inversions the
+    original chain used: returns (inv_K (3, 3), inv_RT (3, 4)) float32.'''
+    cam_RT_4 = np.eye(4, dtype=np.float32)
+    cam_RT_4[:3] = cam_RT
+    cam_K_4 = np.eye(4, dtype=np.float32)
+    cam_K_4[:3, :3] = cam_K
+    return np.linalg.inv(cam_K_4)[:3, :3], np.linalg.inv(cam_RT_4)[:3]
+
+
+def _unproject(valid_x, valid_y, z, inv_K, inv_RT):
+    '''Pixel (x, y, depth) -> world (N, 3) f32, decomposed into elementwise
+    ops with a pinned evaluation order so the native fused frame op
+    (native/frame_ops.cpp) can reproduce it bit-for-bit: the homogeneous
+    chain inv(RT) @ (z * inv(K) @ [x, y, 1]) evaluated per coordinate as
+    (((r0*cx + r1*cy) + r2*cz) + t) with cam = ((k0*x + k1*y) + k2) * z.'''
+    xs = valid_x.astype(np.float32)
+    ys = valid_y.astype(np.float32)
+    cam = np.empty((z.shape[0], 3), np.float32)
+    for c in range(3):
+        d = (inv_K[c, 0] * xs + inv_K[c, 1] * ys) + inv_K[c, 2]
+        cam[:, c] = d * z
+    world = np.empty_like(cam)
+    for c in range(3):
+        world[:, c] = ((inv_RT[c, 0] * cam[:, 0] + inv_RT[c, 1] * cam[:, 1])
+                       + inv_RT[c, 2] * cam[:, 2]) + inv_RT[c, 3]
+    return world
+
+
 def point_cloud_from_rgbd(rgb, depth, cam_RT, cam_K):
     '''
     RGB-D -> world-space point cloud with attributes, vectorized
@@ -69,19 +99,10 @@ def point_cloud_from_rgbd(rgb, depth, cam_RT, cam_K):
     '''
     valid_y, valid_x = np.where(depth > 0.0)
     z = depth[valid_y, valid_x].astype(np.float32)
-    n = z.shape[0]
-    cam_RT_4 = np.eye(4, dtype=np.float32)
-    cam_RT_4[:3] = cam_RT
-    cam_K_4 = np.eye(4, dtype=np.float32)
-    cam_K_4[:3, :3] = cam_K
-    coords = np.ones((4, n), np.float32)
-    coords[0] = valid_x
-    coords[1] = valid_y
-    pts = np.linalg.inv(cam_K_4) @ coords
-    pts[:3] *= z[None]
-    pts = np.linalg.inv(cam_RT_4) @ pts
+    inv_K, inv_RT = _inverse_cams(cam_RT, cam_K)
+    world = _unproject(valid_x, valid_y, z, inv_K, inv_RT)
     attrs = rgb[valid_y, valid_x].astype(np.float32)
-    return np.concatenate([pts.T[:, :3], attrs], axis=1)
+    return np.concatenate([world, attrs], axis=1)
 
 
 def _rgb_to_hue_sat(rgb):
@@ -108,6 +129,36 @@ def instance_ids_from_preflat(flat):
     ids = ids.astype(np.float32)
     ids[sat[..., None] < 0.9] = -1.0
     return ids  # (H, W, 1).
+
+
+def greater_frame_points(rgb, flat, depth, cam_RT, cam_K, cuboid):
+    '''
+    Fused per-frame decode: preflat hue clustering + unprojection + cuboid &
+    curving-floor filtering (the __getitem__ hot path,
+    /root/reference/data/data_greater.py:394-417 semantics). Runs in one C++
+    pixel pass when the native library is available (native/frame_ops.cpp);
+    the numpy fallback below is the semantics oracle and is bit-identical
+    (tests/test_data.py::test_native_greater_frame_matches_numpy).
+    :return (pcl (N, 7) f32 rows (x, y, z, inst, R, G, B), n_valid) where
+        n_valid counts depth-valid pixels before filtering.
+    '''
+    from .. import native
+
+    inv_K, inv_RT = _inverse_cams(cam_RT, cam_K)
+    res = native.greater_frame_host(rgb, flat, depth, inv_K, inv_RT,
+                                    tuple(cuboid))
+    if res is not None:
+        return res
+
+    inst = instance_ids_from_preflat(flat)
+    valid_y, valid_x = np.where(depth > 0.0)
+    z = depth[valid_y, valid_x].astype(np.float32)
+    world = _unproject(valid_x, valid_y, z, inv_K, inv_RT)
+    attrs = np.concatenate([inst, rgb], axis=-1)[valid_y, valid_x] \
+        .astype(np.float32)
+    pcl = np.concatenate([world, attrs], axis=1)
+    keep = np.asarray(cuboid_mask(pcl, cuboid)) & np.asarray(greater_floor_mask(pcl))
+    return pcl[keep], pcl.shape[0]
 
 
 class GreaterDataset:
@@ -288,14 +339,10 @@ class GreaterDataset:
                 cam_K = src_K[f].astype(np.float32)
                 cam_K[1, 1] = cam_K[0, 0]  # data_greater.py:366 focal fix.
 
-                inst = instance_ids_from_preflat(flat)
-                rgb_inst = np.concatenate([inst, rgb], axis=-1)      # (H, W, 4).
-                pcl = point_cloud_from_rgbd(rgb_inst, depth, cam_RT, cam_K)
-                # (N, 7): (x, y, z, instance_id, R, G, B).
-                keep = np.asarray(cuboid_mask(pcl, cub)) \
-                    & np.asarray(greater_floor_mask(pcl))
-                pre_filter = pcl.shape[0]
-                pcl = pcl[keep]
+                # (N, 7): (x, y, z, instance_id, R, G, B) — fused one-pass
+                # decode (C++ when available; bit-identical numpy fallback).
+                pcl, pre_filter = greater_frame_points(rgb, flat, depth,
+                                                       cam_RT, cam_K, cub)
                 cuboid_filter_ratios.append(pcl.shape[0] / max(pre_filter, 1))
                 pre_sample = pcl.shape[0]
                 if self.n_points_rnd > 0 and pcl.shape[0] > self.n_points_rnd:

@@ -15,10 +15,11 @@ import threading
 
 import numpy as np
 
-__all__ = ['fps_host', 'nn1_host', 'knn_host', 'native_available']
+__all__ = ['fps_host', 'nn1_host', 'knn_host', 'greater_frame_host',
+           'native_available']
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, 'host_ops.cpp')
+_SRCS = [os.path.join(_HERE, 'host_ops.cpp'), os.path.join(_HERE, 'frame_ops.cpp')]
 _LIB = os.path.join(_HERE, '_host_ops.so')
 _lock = threading.Lock()
 _lib = None
@@ -26,8 +27,18 @@ _tried = False
 
 
 def _build():
-    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC', '-o', _LIB, _SRC]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # frame_ops.cpp promises bit-exact parity with the numpy data plane, which
+    # requires -ffp-contract=off (no fma re-rounding); the distance kernels in
+    # host_ops.cpp keep default contraction. Hence per-TU compilation.
+    objs = []
+    for src in _SRCS:
+        obj = src[:-4] + '.o'
+        flags = ['-ffp-contract=off'] if src.endswith('frame_ops.cpp') else []
+        subprocess.run(['g++', '-O3', '-march=native', *flags, '-c', '-fPIC',
+                        '-o', obj, src], check=True, capture_output=True)
+        objs.append(obj)
+    subprocess.run(['g++', '-shared', '-o', _LIB, *objs],
+                   check=True, capture_output=True)
 
 
 def _load():
@@ -38,15 +49,22 @@ def _load():
         _tried = True
         try:
             if (not os.path.exists(_LIB)
-                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                    or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
+                           for s in _SRCS)):
                 _build()
             lib = ctypes.CDLL(_LIB)
             f32p = np.ctypeslib.ndpointer(np.float32, flags='C')
+            f64p = np.ctypeslib.ndpointer(np.float64, flags='C')
             i32p = np.ctypeslib.ndpointer(np.int32, flags='C')
+            i64p = np.ctypeslib.ndpointer(np.int64, flags='C')
             i64 = ctypes.c_int64
             lib.o4d_fps.argtypes = [f32p, i64, i64, i64, i32p, f32p]
             lib.o4d_nn1.argtypes = [f32p, i64, f32p, i64, f32p, i32p]
             lib.o4d_knn.argtypes = [f32p, i64, f32p, i64, i64, f32p, i32p]
+            lib.o4d_greater_frame.argtypes = [
+                f32p, f32p, f32p, i64, i64, f32p, f32p, f32p, ctypes.c_int,
+                f64p, i64, ctypes.c_float, f32p, i64p]
+            lib.o4d_greater_frame.restype = i64
             _lib = lib
         except Exception:
             _lib = None
@@ -97,6 +115,42 @@ def nn1_host(query, keys):
     diffs = np.linalg.norm(query[:, None] - keys[None], axis=-1)
     i = diffs.argmin(axis=-1).astype(np.int32)
     return diffs[np.arange(len(query)), i], i
+
+
+def greater_frame_host(rgb, flat, depth, inv_K3, inv_RT34, cuboid,
+                       use_floor=True, clusters=None, sat_thresh=0.9):
+    '''
+    Fused GREATER frame decode (frame_ops.cpp): preflat hue clustering +
+    unprojection + cuboid/floor filtering in one pixel pass. Bit-identical to
+    the numpy chain in data/greater.py (asserted by tests/test_data.py).
+    :param rgb, flat (H, W, 3) float32; depth (H, W) float32 (metric).
+    :param inv_K3 (3, 3), inv_RT34 (3, 4) float32: inverse camera matrices.
+    :param cuboid: ops.bounds.Cuboid (or 6 floats x0,x1,y0,y1,z0,z1).
+    :param clusters: hue cluster centers (defaults to PREFLAT_HUE_CLUSTERS).
+    :return (pcl (N, 7) float32 rows (x, y, z, inst, R, G, B), n_valid) or
+        None when the native library is unavailable.
+    '''
+    lib = _load()
+    if lib is None:
+        return None
+    if clusters is None:
+        from ..data.greater import PREFLAT_HUE_CLUSTERS
+        clusters = PREFLAT_HUE_CLUSTERS
+    rgb = np.ascontiguousarray(rgb, np.float32)
+    flat = np.ascontiguousarray(flat, np.float32)
+    depth = np.ascontiguousarray(depth, np.float32)
+    (H, W) = depth.shape
+    iK = np.ascontiguousarray(inv_K3, np.float32).reshape(9)
+    iRT = np.ascontiguousarray(inv_RT34, np.float32).reshape(12)
+    cub = np.ascontiguousarray(np.asarray(cuboid, np.float32).reshape(6))
+    cl = np.ascontiguousarray(np.asarray(clusters, np.float64))
+    out = np.empty((H * W, 7), np.float32)
+    n_valid = np.zeros(1, np.int64)
+    n = lib.o4d_greater_frame(rgb.reshape(-1), flat.reshape(-1),
+                              depth.reshape(-1), H, W, iK, iRT, cub,
+                              int(bool(use_floor)), cl, cl.shape[0],
+                              float(sat_thresh), out.reshape(-1), n_valid)
+    return out[:n].copy(), int(n_valid[0])
 
 
 def knn_host(query, keys, k):

@@ -302,3 +302,48 @@ def test_counter_board_shared_across_forks(greater_root):
     assert q.get(timeout=10) is False
     assert q.get(timeout=10) is True
     assert board.counts[1, 5] == 1  # child's claim visible in the parent.
+
+
+def test_native_greater_frame_matches_numpy():
+    '''The fused C++ frame decode (native/frame_ops.cpp: hue clustering +
+    unprojection + cuboid/floor filter in one pixel pass) must be BYTE-identical
+    to the numpy chain — same scalar op order, fp-contract off — so worker-mode
+    and fallback paths can never diverge.'''
+    from occlusions4d_tpu import native
+    from occlusions4d_tpu.data import greater as G
+    from occlusions4d_tpu.ops.bounds import greater_bounds
+
+    if not native.native_available():
+        pytest.skip('no C++ toolchain')
+
+    rng = np.random.RandomState(11)
+    H, W = 96, 128
+    rgb = rng.randint(0, 256, (H, W, 3)).astype(np.float32)
+    flat = rng.randint(0, 256, (H, W, 3)).astype(np.float32)
+    flat[::3] = flat[::3, :, :1]                  # desaturated -> background.
+    depth = rng.rand(H, W).astype(np.float32) * 12.0
+    depth[rng.rand(H, W) < 0.25] = 0.0
+    cam_K = np.array([[90., 0., W / 2], [0., 90., H / 2], [0., 0., 1.]],
+                     np.float32)
+    th = 0.4
+    cam_RT = np.array([[np.cos(th), -np.sin(th), 0., 1.0],
+                       [np.sin(th), np.cos(th), 0., -2.0],
+                       [0., 0., 1., 0.5]], np.float32)
+    cub = greater_bounds(5.0, -1.0)
+
+    pcl_c, nv_c = G.greater_frame_points(rgb, flat, depth, cam_RT, cam_K, cub)
+
+    import occlusions4d_tpu.native as nat
+    saved = nat._lib, nat._tried
+    try:
+        nat._lib, nat._tried = None, True         # force the numpy fallback.
+        pcl_n, nv_n = G.greater_frame_points(rgb, flat, depth, cam_RT, cam_K,
+                                             cub)
+    finally:
+        nat._lib, nat._tried = saved
+
+    assert nv_c == nv_n
+    assert pcl_c.shape == pcl_n.shape and pcl_c.shape[0] > 100
+    np.testing.assert_array_equal(pcl_c, pcl_n)
+    # Sane decode: some background (-1) and some clustered instance ids.
+    assert (pcl_c[:, 3] == -1).any() and (pcl_c[:, 3] >= 0).any()
