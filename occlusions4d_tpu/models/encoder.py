@@ -48,6 +48,11 @@ class PointEncoder(nn.Module):
     fps_random_start: bool = True
     dtype: jnp.dtype = jnp.float32
     knn_block_size: int = 4096
+    # Self-attention execution path for the PT blocks ('auto'|'on'|'off',
+    # models/layers.py::VectorAttention.fused; 'auto' = the XLA chain, which
+    # measured faster than the Pallas kernel at all shipped shapes). Not part
+    # of the persisted encoder_args — a runtime choice, not an architecture knob.
+    fused_attention: str = 'auto'
 
     @nn.compact
     def __call__(self, pcl, return_intermediate=False, train=False):
@@ -86,7 +91,7 @@ class PointEncoder(nn.Module):
             return PointTransformerBlock(
                 d_in=d, d_hidden=d, d_out=d, num_neighbors=self.pt_num_neighbors,
                 dtype=self.dtype, knn_block_size=self.knn_block_size,
-                name=name or f'blocks_{kw.pop("idx")}')
+                fused=self.fused_attention, name=name or f'blocks_{kw.pop("idx")}')
 
         # Down path.
         for _ in range(self.down_blocks):

@@ -74,11 +74,16 @@ def build_decoder_args(cfg):
 
 
 def build_models(cfg, data_kind, dtype=None, fps_random_start=None,
-                 encoder_args=None, decoder_args=None):
+                 encoder_args=None, decoder_args=None, fused_attention=None):
     '''
     :return (encoder, decoder, encoder_args, decoder_args): flax module definitions
         plus the constructor kwarg dicts (stored in checkpoints for test-time rebuild,
         train.py:345-347).
+
+    `fused_attention` ('auto'|'on'|'off') selects the encoder's self-attention
+    execution path (models/layers.py). It is deliberately NOT merged into the
+    persisted encoder_args: it changes how the same parameters are computed
+    with, not the architecture, so checkpoints stay path-agnostic.
     '''
     if dtype is None:
         dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
@@ -86,7 +91,8 @@ def build_models(cfg, data_kind, dtype=None, fps_random_start=None,
     decoder_args = dict(decoder_args or build_decoder_args(cfg))
     if fps_random_start is not None:
         encoder_args['fps_random_start'] = fps_random_start
-    encoder = PointEncoder(dtype=dtype, **encoder_args)
+    extra = {} if fused_attention is None else dict(fused_attention=fused_attention)
+    encoder = PointEncoder(dtype=dtype, **encoder_args, **extra)
     decoder = LocalImplicitField(dtype=dtype, **decoder_args)
     return encoder, decoder, encoder_args, decoder_args
 

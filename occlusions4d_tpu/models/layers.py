@@ -62,6 +62,13 @@ class VectorAttention(nn.Module):
     attn = softmax_K(gamma(q - k + theta(dp)) / sqrt(dim)); out = sum_K attn * (v + theta)
     where theta is the positional MLP over coordinate differences
     (point_transformer_layer.py:148-183).
+
+    Weights are declared as {'kernel', ['bias']} pytree params under the same
+    names nn.Dense submodules would create (to_q/to_k/to_v bias-free,
+    pos_mlp_0/pos_mlp_2/attn_mlp_0/attn_mlp_2 with bias), so the checkpoint
+    layout and the torch key map are unchanged while both execution paths — the
+    XLA chain and the fused Pallas kernel (ops/pallas_self_attention.py, the
+    self-attention hot path at encoder scale) — share the same parameters.
     '''
     dim: int
     pos_mlp_hidden_dim: int = 32
@@ -70,6 +77,15 @@ class VectorAttention(nn.Module):
     dim2: Optional[int] = None  # key/value input width for cross attention.
     dtype: jnp.dtype = jnp.float32
     knn_block_size: int = 4096
+    # Self-attention execution path. 'auto' resolves to the XLA chain: the
+    # fused Pallas kernel (ops/pallas_self_attention.py) MEASURED SLOWER at
+    # every shipped train shape (gv1 +0.7 ms, 57k +7.7 ms, cv1 +10.5 ms —
+    # PERFLOG.md "experiments that lost": XLA already fuses the MLP chain into
+    # the gather, and the kernel's padded (N*K, E) operand materialization
+    # costs more than the chain it removes). 'on' forces the kernel (interpret
+    # mode off-TPU — exercised by tests, kept for larger-K/dim regimes);
+    # 'off' forces the XLA chain (required under checkify).
+    fused: str = 'auto'
 
     @nn.compact
     def __call__(self, x, pos, x2=None, pos2=None, key_mask=None):
@@ -84,6 +100,33 @@ class VectorAttention(nn.Module):
         self_attention = x2 is None
         if self_attention:
             x2, pos2 = x, pos
+        dt = self.dtype
+
+        kernel_init = nn.initializers.lecun_normal()
+
+        def dense_p(name, din, dout, bias=True):
+            if bias:
+                return self.param(name, lambda rng: {
+                    'kernel': kernel_init(rng, (din, dout), jnp.float32),
+                    'bias': jnp.zeros((dout,), jnp.float32)})
+            return self.param(name, lambda rng: {
+                'kernel': kernel_init(rng, (din, dout), jnp.float32)})
+
+        def apply_dense(p, v):
+            y = v.astype(dt) @ p['kernel'].astype(dt)
+            if 'bias' in p:
+                y = y + p['bias'].astype(dt)
+            return y
+
+        p_to_q = dense_p('to_q', x.shape[-1], self.dim, bias=False)
+        p_to_k = dense_p('to_k', x2.shape[-1], self.dim, bias=False)
+        p_to_v = dense_p('to_v', x2.shape[-1], self.dim, bias=False)
+        p_pos0 = dense_p('pos_mlp_0', 3, self.pos_mlp_hidden_dim)
+        p_pos2 = dense_p('pos_mlp_2', self.pos_mlp_hidden_dim, self.dim)
+        p_attn0 = dense_p('attn_mlp_0', self.dim,
+                          self.dim * self.attn_mlp_hidden_mult)
+        p_attn2 = dense_p('attn_mlp_2', self.dim * self.attn_mlp_hidden_mult,
+                          self.dim)
 
         # kNN graph build (stop_gradient: a data-dependent gather pattern, like the
         # reference's non-differentiable argsort). For self-attention, pass the
@@ -96,26 +139,36 @@ class VectorAttention(nn.Module):
                          block_size=self.knn_block_size)              # (B, N, K).
         knn_xyz = gather_neighbors(pos2_sg[..., :3], knn_idx)          # (B, N, K, 3).
 
-        dense = lambda d, name: nn.Dense(d, use_bias=False, dtype=self.dtype, name=name)
-        q = dense(self.dim, 'to_q')(x)                                 # (B, N, D).
-        k_all = dense(self.dim, 'to_k')(x2)                            # (B, M, D).
-        v_all = dense(self.dim, 'to_v')(x2)                            # (B, M, D).
+        use_fused = (self.fused == 'on' and self_attention
+                     and key_mask is None and self.num_neighbors % 8 == 0)
+        if use_fused:
+            from ..ops.pallas_self_attention import fused_gathered_attention
+            q = apply_dense(p_to_q, x)                                 # (B, N, D).
+            gf = gather_neighbors(x2, knn_idx)                         # (B, N, K, E).
+            rel = pos[..., None, :] - knn_xyz                          # (B, N, K, 3).
+            cd = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+            params = {'to_k': p_to_k, 'to_v': p_to_v,
+                      'pos_mlp_0': p_pos0, 'pos_mlp_2': p_pos2,
+                      'attn_mlp_0': p_attn0, 'attn_mlp_2': p_attn2}
+            out = fused_gathered_attention(q, gf, rel, params,
+                                           self.num_neighbors,
+                                           compute_dtype=cd)
+            return out.astype(dt)
+
+        q = apply_dense(p_to_q, x)                                     # (B, N, D).
+        k_all = apply_dense(p_to_k, x2)                                # (B, M, D).
+        v_all = apply_dense(p_to_v, x2)                                # (B, M, D).
         k = gather_neighbors(k_all, knn_idx)                           # (B, N, K, D).
         v = gather_neighbors(v_all, knn_idx)                           # (B, N, K, D).
 
         # Positional encoding MLP theta over coordinate deltas.
-        rel = (pos[..., None, :] - knn_xyz).astype(self.dtype)         # (B, N, K, 3).
-        pe = nn.Dense(self.pos_mlp_hidden_dim, dtype=self.dtype, name='pos_mlp_0')(rel)
-        pe = nn.relu(pe)
-        pe = nn.Dense(self.dim, dtype=self.dtype, name='pos_mlp_2')(pe)  # (B, N, K, D).
+        rel = (pos[..., None, :] - knn_xyz).astype(dt)                 # (B, N, K, 3).
+        pe = apply_dense(p_pos2, nn.relu(apply_dense(p_pos0, rel)))    # (B, N, K, D).
 
         # Attention MLP gamma, softmax over the K axis per channel.
         a = q[..., None, :] - k + pe                                   # (B, N, K, D).
-        a = nn.Dense(self.dim * self.attn_mlp_hidden_mult, dtype=self.dtype,
-                     name='attn_mlp_0')(a)
-        a = nn.relu(a)
-        a = nn.Dense(self.dim, dtype=self.dtype, name='attn_mlp_2')(a)
-        attn = jax.nn.softmax(a / jnp.sqrt(jnp.asarray(self.dim, self.dtype)), axis=-2)
+        a = apply_dense(p_attn2, nn.relu(apply_dense(p_attn0, a)))
+        attn = jax.nn.softmax(a / jnp.sqrt(jnp.asarray(self.dim, dt)), axis=-2)
 
         return jnp.einsum('bnkd,bnkd->bnd', attn, v + pe)
 
@@ -129,6 +182,7 @@ class PointTransformerBlock(nn.Module):
     d_hidden_abstract: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     knn_block_size: int = 4096
+    fused: str = 'auto'
 
     @nn.compact
     def __call__(self, x, p, x2=None, p2=None, key_mask=None):
@@ -137,7 +191,8 @@ class PointTransformerBlock(nn.Module):
             dim=self.d_hidden, pos_mlp_hidden_dim=32, attn_mlp_hidden_mult=2,
             num_neighbors=self.num_neighbors, dim2=self.d_hidden_abstract,
             dtype=self.dtype, knn_block_size=self.knn_block_size,
-            name='layer2')(y, p, x2=x2, pos2=p2, key_mask=key_mask)
+            fused=self.fused, name='layer2')(y, p, x2=x2, pos2=p2,
+                                             key_mask=key_mask)
         y = nn.Dense(self.d_out, dtype=self.dtype, name='layer3')(y)
         return (x + y, p)
 
