@@ -139,6 +139,17 @@ class TrainConfig(SharedConfig):
     fused_decoder_dtype: str = 'auto'
     export_visuals: bool = False  # load images for early-epoch gallery exports.
     viz_interval: int = 80        # intermediate-export cadence (pipeline.py:92-94).
+    # wandb.watch-equivalent telemetry (/root/reference/utils/logvis.py:75):
+    # per-layer parameter/gradient norms computed on device in the train step
+    # and committed as epoch histograms. Auto-enabled when wandb is on.
+    watch_networks: bool = False
+    # Debug: functionalize tensor-boundary NaN/Inf probes (encoder outputs,
+    # per-frame decoder outputs, each loss term) via jax.experimental.checkify
+    # so the first non-finite tensor is named in the raised error — the TPU
+    # analogue of the reference's _CHECK_NAN/_CHECK_NAN_INF probes,
+    # /root/reference/pipeline.py:17,113, /root/reference/loss.py:12. Forces
+    # the XLA (non-fused, non-remat) paths; debug-only, adds overhead.
+    check_numerics: bool = False
     tag: str = ''
 
 

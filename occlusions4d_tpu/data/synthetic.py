@@ -11,6 +11,8 @@ sensor matrices and occlusion-rate curves.
 
 import os
 
+import zlib
+
 import numpy as np
 
 from .greater import PREFLAT_HUE_CLUSTERS, MAX_DEPTH_CLIP
@@ -153,7 +155,7 @@ def make_greater_dataset(root, num_scenes=2, stages=('train', 'val', 'test'), **
     for stage in stages:
         for s in range(num_scenes):
             make_greater_scene(os.path.join(root, stage, f'GREATER_{s:06d}'),
-                               seed=s + hash(stage) % 1000, **kw)
+                               seed=s + (zlib.crc32(stage.encode()) % 1000), **kw)
     return root
 
 
@@ -221,5 +223,5 @@ def make_carla_dataset(root, num_scenes=2, stages=('train', 'val', 'test'), **kw
     for stage in stages:
         for s in range(num_scenes):
             make_carla_scene(os.path.join(root, stage, f'{stage}_{s:05d}'),
-                             seed=s + hash(stage) % 1000, **kw)
+                             seed=s + (zlib.crc32(stage.encode()) % 1000), **kw)
     return root

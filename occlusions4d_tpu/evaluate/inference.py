@@ -64,7 +64,7 @@ def load_models(checkpoint_path, epoch=-1, logger=None, dtype=jnp.float32):
         enc_args, _ = _strip_mixed_precision(ref['pcl_args'])
         dec_args, _ = _strip_mixed_precision(ref['implicit_args'])
         enc_args['fps_random_start'] = False  # deterministic eval (inference.py:58-59).
-        encoder = PointEncoder(dtype=dtype, **enc_args)
+        encoder = PointEncoder(dtype=dtype, fused_attention='off', **enc_args)
         decoder = LocalImplicitField(dtype=dtype, **dec_args)
         params = dict(encoder=ref['encoder_variables'],
                       decoder=ref['decoder_variables'])
@@ -82,7 +82,9 @@ def load_models(checkpoint_path, epoch=-1, logger=None, dtype=jnp.float32):
     enc_args = dict(meta['encoder_args'])
     enc_args['fps_random_start'] = False
     dec_args = dict(meta['decoder_args'])
-    encoder = PointEncoder(dtype=dtype, **enc_args)
+    # Eval encoder stays on the XLA module path: it runs once per scene (cheap)
+    # and the measured eval-precision flip rates are pinned to that path.
+    encoder = PointEncoder(dtype=dtype, fused_attention='off', **enc_args)
     decoder = LocalImplicitField(dtype=dtype, **dec_args)
     params = payload['state']['params']
     train_cfg = config_from_dict(TrainConfig, meta.get('config', {}))
@@ -125,9 +127,16 @@ class InferenceEngine:
             'fast'    - fused Pallas decode with bf16 kernel compute.
             'f32'     - flax module path, XLA default matmul precision (what
                         "f32 eval" means on TPU without precision overrides).
-            'highest' - flax module path with HIGHEST matmul precision: true
-                        f32 dots, the parity-grade oracle matching the
-                        reference's f32 GPU eval (eval/inference.py:203-246).
+            'highest' - true f32 dots everywhere: the parity-grade oracle
+                        matching the reference's f32 GPU eval
+                        (eval/inference.py:203-246). On TPU with a
+                        fused-supported config this routes through the fused
+                        kernels with compute_dtype=f32 (3-pass MXU matmuls,
+                        Precision.HIGHEST in-kernel) under a HIGHEST
+                        default-matmul context for the backbone - same oracle
+                        numerics as the module+HIGHEST path (pinned by
+                        tests/test_pallas_ops.py::test_fused_field_highest_
+                        matches_module_highest) at a fraction of its latency.
             'auto'    - 'fast' on TPU when the config is fused-supported,
                         else 'f32'.
             Measured at the reference workload (534528 grid queries, gv1 scale,
@@ -170,6 +179,11 @@ class InferenceEngine:
         assert precision in ('fast', 'f32', 'highest'), precision
         self.precision = precision
         self.fused_decode = precision == 'fast'
+        # Parity-grade runs keep kernel speed: f32/HIGHEST compute inside the
+        # fused kernels (VERDICT r2 item 5). Off-TPU the kernels only run in
+        # (slow) interpret mode, so 'highest' keeps the module path there.
+        self.fused_highest = (precision == 'highest' and supports_fused(dec)
+                              and jax.default_backend() == 'tpu')
         self.store_activations = store_activations
         mm_prec = 'highest' if precision == 'highest' else None
 
@@ -191,6 +205,9 @@ class InferenceEngine:
                 # as the XLA path's default-precision dots (see __init__ doc).
                 out, penult = fused_field_apply(dec, p, q, abstract, fg,
                                                 compute_dtype=jnp.bfloat16)
+            elif self.fused_highest:
+                out, penult = fused_field_apply(dec, p, q, abstract, fg,
+                                                compute_dtype=jnp.float32)
             else:
                 out, penult = dec.apply(p, q, abstract, fg)
             out = squash_eval(out, color_mode, predict_segmentation,

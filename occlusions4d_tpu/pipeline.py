@@ -37,6 +37,20 @@ def squash_colors(out, color_mode):
     raise ValueError(color_mode)
 
 
+def _numerics_probe(name, x):
+    '''Explicit NaN/Inf probe at a named tensor boundary — the TPU analogue of
+    the reference's compile-out debug detectors (_CHECK_NAN_INF,
+    /root/reference/pipeline.py:17,113; _CHECK_NAN, /root/reference/loss.py:12,
+    61,151). Only traced when the pipeline was built with debug_checks=True,
+    and only functionalized when the caller wraps the step in
+    checkify.checkify(..., errors=user_checks) (train.py --check_numerics);
+    tensor-level probes keep the checkify graph small where op-level
+    float_checks made compilation intractable.'''
+    from jax.experimental import checkify
+    ok = jnp.all(jnp.isfinite(x.astype(jnp.float32)))
+    checkify.check(ok, 'NaN/Inf detected in ' + name)
+
+
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     color_mode: str = 'rgb'
@@ -66,7 +80,7 @@ class TrainPipeline:
 
     def __init__(self, encoder, decoder, sampler_cfg: SamplerConfig,
                  cfg: PipelineConfig, remat=True, fused_decoder='auto',
-                 fused_decoder_dtype='auto'):
+                 fused_decoder_dtype='auto', debug_checks=False):
         '''
         :param fused_decoder ('auto'|'on'|'off'): run the per-frame field
             evaluation through the fused Pallas kernels with their custom-VJP
@@ -84,6 +98,7 @@ class TrainPipeline:
             config.py TrainConfig.fused_decoder).
         '''
         from .models.fused import fused_field_apply, supports_fused
+        self.debug_checks = debug_checks
         self.encoder = encoder
         self.decoder = decoder
         self.sampler = GuidedPointSampler(sampler_cfg)
@@ -146,6 +161,11 @@ class TrainPipeline:
                 params['encoder'], pcl_input, return_intermediate,
                 rngs={'fps': k_fps})
 
+        if self.debug_checks:
+            _numerics_probe('pcl_input', pcl_input)
+            _numerics_probe('encoder_abstract', abstract)
+            _numerics_probe('encoder_global', feats_global)
+
         outputs, targets, queries = [], [], []
         solid_sbs, air_sbs, oks = [], [], []
         for t in range(T):
@@ -186,6 +206,8 @@ class TrainPipeline:
             out = self._decode_frame(params['decoder'], points_query, abstract,
                                      feats_global)
             out = squash_colors(out, cfg.color_mode)
+            if self.debug_checks:
+                _numerics_probe(f'decoder_output_frame{t}', out)
 
             outputs.append(out)
             targets.append(implicit_target)
@@ -200,6 +222,9 @@ class TrainPipeline:
 
         losses = per_example_losses(output, target, cfg.loss_config,
                                     frame_weight=ok_bt)
+        if self.debug_checks:
+            for k in sorted(losses):
+                _numerics_probe('loss_' + k, losses[k])
         aux = dict(
             abstract=abstract, features_global=feats_global,
             points_query=jnp.stack(queries, axis=1), implicit_output=output,

@@ -73,8 +73,38 @@ def build_optimizer(cfg: TrainConfig, steps_per_epoch):
     return tx, schedule
 
 
-def make_train_step(pipeline: TrainPipeline, tx):
-    '''Returns jitted train_step(state, batch, rng) -> (state, metrics).'''
+def layer_norm_names(params):
+    '''Flat leaf-path names matching the stacking order of the train step's
+    layer_grad_norms / layer_param_norms telemetry arrays.'''
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return [jax.tree_util.keystr(path) for path, _ in flat]
+
+
+def _leaf_norms(tree):
+    '''(L,) stacked L2 norms of every leaf, in tree_flatten_with_path order
+    (one array -> one D2H transfer for the whole model's telemetry).'''
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return jnp.stack([jnp.sqrt(jnp.sum(jnp.square(l.astype(jnp.float32))))
+                      for _, l in flat])
+
+
+def make_train_step(pipeline: TrainPipeline, tx, watch_networks=False,
+                    check_numerics=False):
+    '''Returns jitted train_step(state, batch, rng) -> (state, metrics).
+
+    :param watch_networks: add per-layer parameter/gradient L2 norms to the
+        metrics (wandb.watch-equivalent telemetry; the reference registers both
+        nets at wandb init, /root/reference/utils/logvis.py:75). Stacked into
+        two (L,) arrays; decode names with layer_norm_names(params).
+    :param check_numerics: functionalize the pipeline's tensor-boundary
+        NaN/Inf probes (pipeline._numerics_probe; the pipeline must be built
+        with debug_checks=True). metrics gain a 'numerics_err' checkify.Error
+        the host loop throws on, naming the first non-finite tensor (encoder
+        outputs, per-frame decoder outputs, each loss term) — the reference's
+        _CHECK_NAN probes, /root/reference/loss.py:12,61,151,
+        pipeline.py:17,113. user_checks (not op-level float_checks): explicit
+        probes keep the checkify graph compilable at full pipeline scale.
+    '''
 
     def step_fn(state, batch, rng):
         params, opt_state, step = state['params'], state['opt_state'], state['step']
@@ -107,9 +137,23 @@ def make_train_step(pipeline: TrainPipeline, tx):
                        sample_ok_frac=aux['sample_ok_frac'],
                        solid_sbs=aux['solid_sbs'], air_sbs=aux['air_sbs'],
                        **{f'loss_{k}': v for k, v in losses.items()})
+        if watch_networks:
+            metrics['layer_grad_norms'] = _leaf_norms(grads)
+            metrics['layer_param_norms'] = _leaf_norms(new_params)
         new_state = dict(params=new_params, opt_state=new_opt_state, step=step + 1)
         return new_state, metrics
 
+    if check_numerics:
+        from jax.experimental import checkify
+
+        def checked_fn(state, batch, rng):
+            err, out = checkify.checkify(
+                step_fn, errors=checkify.user_checks)(state, batch, rng)
+            new_state, metrics = out
+            metrics = dict(metrics, numerics_err=err)
+            return new_state, metrics
+
+        return jax.jit(checked_fn, donate_argnums=(0,))
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
@@ -170,17 +214,37 @@ class Trainer:
                 f'--batch_size or --data_parallel.')
 
         dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+        # checkify cannot see inside pallas kernels: --check_numerics forces the
+        # XLA paths (encoder here, decoder below) for op-level NaN localization.
+        fused_attn = 'off' if getattr(cfg, 'check_numerics', False) else None
         self.encoder, self.decoder, self.encoder_args, self.decoder_args = \
-            factory.build_models(cfg, data_kind, dtype=dtype)
+            factory.build_models(cfg, data_kind, dtype=dtype,
+                                 fused_attention=fused_attn)
         self.sampler_args = factory.build_sampler_args(cfg, data_kind)
         pipe_cfg = PipelineConfig(
             color_mode=cfg.color_mode, semantic_classes=cfg.semantic_classes,
             past_frames=cfg.past_frames, future_frames=cfg.future_frames,
             density_lw=cfg.density_lw, color_lw=cfg.color_lw,
             segmentation_lw=cfg.segmentation_lw, tracking_lw=cfg.tracking_lw)
+        self.check_numerics = getattr(cfg, 'check_numerics', False)
+        # wandb.watch parity: telemetry is on whenever wandb is
+        # (/root/reference/utils/logvis.py:75 registers both nets at init).
+        self.watch_networks = (getattr(cfg, 'watch_networks', False)
+                               or getattr(cfg, 'use_wandb', False))
+        fused = cfg.fused_decoder
+        if self.check_numerics:
+            # checkify cannot see inside pallas kernels; the XLA module path
+            # gives op-level NaN localization through the whole decoder.
+            fused = 'off'
         self.pipeline = TrainPipeline(
             self.encoder, self.decoder, SamplerConfig(**self.sampler_args),
-            pipe_cfg, fused_decoder=cfg.fused_decoder,
+            pipe_cfg, fused_decoder=fused,
+            # checkify x jax.checkpoint hangs XLA:CPU (effect-threading
+            # through the remat'd closed call); check_numerics is a debug mode
+            # run at debug scale, so trading its remat memory saving for a
+            # working localizer is the right call.
+            remat=not self.check_numerics,
+            debug_checks=self.check_numerics,
             fused_decoder_dtype=getattr(cfg, 'fused_decoder_dtype', 'auto'))
         self.state = None
         self._train_step = None
@@ -211,20 +275,24 @@ class Trainer:
                           step=jnp.zeros((), jnp.int32))
         # Replicate across the mesh.
         self.state = jax.device_put(self.state, replicated(self.mesh))
-        self._train_step = make_train_step(self.pipeline, self.tx)
-        self._eval_step = make_eval_step(self.pipeline)
-        self._viz_step = make_viz_step(self.pipeline)
+        self._build_steps()
         return self.state
 
     def resume(self, path, steps_per_epoch=1000):
         payload = ckpt_lib.load_checkpoint(path)
         self.tx, self.schedule = build_optimizer(self.cfg, steps_per_epoch)
         self.state = jax.device_put(payload['state'], replicated(self.mesh))
-        self._train_step = make_train_step(self.pipeline, self.tx)
-        self._eval_step = make_eval_step(self.pipeline)
-        self._viz_step = make_viz_step(self.pipeline)
+        self._build_steps()
         self.start_epoch = payload['epoch'] + 1
         return self.state
+
+    def _build_steps(self):
+        self._train_step = make_train_step(self.pipeline, self.tx,
+                                           watch_networks=self.watch_networks,
+                                           check_numerics=self.check_numerics)
+        self._eval_step = make_eval_step(self.pipeline)
+        self._viz_step = make_viz_step(self.pipeline)
+        self._layer_names = layer_norm_names(self.state['params'])
 
     def save(self, epoch):
         if not self.cfg.output_path:
@@ -268,6 +336,8 @@ class Trainer:
                 with timer.phase('guard'):
                     g_fin, p_fin = (bool(np.asarray(prev_guard[0])),
                                     bool(np.asarray(prev_guard[1])))
+                    if prev_guard[2] is not None:
+                        prev_guard[2].throw()  # checkify: localized NaN/Inf op.
                 prev_guard = None
                 if not g_fin:
                     self.logger.error('NaN/Inf gradient detected! Step skipped.')
@@ -296,7 +366,8 @@ class Trainer:
                 if is_train:
                     self.state, metrics = self._train_step(self.state, batch, k)
                     prev_guard = (metrics['grads_finite'],
-                                  metrics['params_finite'])
+                                  metrics['params_finite'],
+                                  metrics.pop('numerics_err', None))
                 else:
                     metrics = self._eval_step(self.state, batch, k)
 
@@ -319,9 +390,19 @@ class Trainer:
                     self.logger.report_scalar(f'{stage}/{name}', val, remember=True)
                 self.logger.report_scalar(f'{stage}/total_loss',
                                           float(m['total_loss']), remember=True)
+                if 'layer_grad_norms' in m:
+                    # wandb.watch-equivalent per-layer telemetry, committed as
+                    # epoch histograms (logvis.py:75 parity).
+                    for kind in ('layer_grad_norms', 'layer_param_norms'):
+                        for name, val in zip(self._layer_names, m[kind]):
+                            self.logger.report_scalar(
+                                f'{stage}/{kind[6:-1]}{name}', float(val),
+                                remember=True, commit_histogram=True)
                 metrics_hist.append(m)
 
         if prev_guard is not None:  # trailing-edge guard for the final step.
+            if prev_guard[2] is not None:
+                prev_guard[2].throw()
             if not bool(np.asarray(prev_guard[0])):
                 self.logger.error('NaN/Inf gradient detected! Step skipped.')
             if not bool(np.asarray(prev_guard[1])):

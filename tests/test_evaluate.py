@@ -50,10 +50,12 @@ def setup(tmp_path_factory):
 
 
 def _test_cfg(root, resume, tmp, **kw):
-    args = TestConfig(data_path=root, resume=resume, num_sample=2048,
-                      implicit_batch_size=512, point_sample_mode='grid',
-                      density_threshold=0.5, seed=3, use_json=False,
-                      log_path=str(tmp), test_tag='t1', query_parallel=1, **kw)
+    base = dict(data_path=root, resume=resume, num_sample=2048,
+                implicit_batch_size=512, point_sample_mode='grid',
+                density_threshold=0.5, seed=3, use_json=False,
+                log_path=str(tmp), test_tag='t1', query_parallel=1)
+    base.update(kw)
+    args = TestConfig(**base)
     verify_args(args, is_train=False)
     return args
 
@@ -191,7 +193,12 @@ def test_save_metrics_and_store_activations(setup, tmp_path):
     queries; both flags change observable outputs (dead in the reference:
     /root/reference/eval/test.py:73,92,113, args.py:345-348).'''
     root, cfg, trainer = setup
+    # Low density threshold: this test asserts the save_metrics/
+    # store_activations PLUMBING (metrics.json keys incl. chamfer, activation
+    # export), which needs a non-empty predicted-solid set — the 2-epoch tiny
+    # fixture model is not trained enough for 0.5 to guarantee one.
     args = _test_cfg(os.path.join(root, 'test'), cfg.output_path, tmp_path,
+                     density_threshold=0.05,
                      save_metrics=True, store_activations=True)
     loaded = load_models(args.resume)
     backfill_from_train(args, loaded['train_config'])

@@ -390,3 +390,51 @@ def test_per_step_nan_grad_skip_and_log(trained):
     finite = [bool(np.all(np.isfinite(np.asarray(p))))
               for p in jax.tree_util.tree_leaves(trainer.state['params'])]
     assert all(finite)
+
+
+def test_watch_networks_layer_norms(trained):
+    '''wandb.watch-equivalent telemetry (/root/reference/utils/logvis.py:75):
+    per-layer parameter/gradient L2 norms, one stacked array each, names
+    aligned with layer_norm_names.'''
+    from occlusions4d_tpu.train import make_train_step, layer_norm_names
+    cfg, trainer, batches = trained
+    step = make_train_step(trainer.pipeline, trainer.tx, watch_networks=True)
+    state = jax.tree_util.tree_map(jnp.copy, trainer.state)
+    b = shard_batch(batches[0], trainer.mesh)
+    _, metrics = step(state, b, jax.random.PRNGKey(0))
+
+    names = layer_norm_names(trainer.state['params'])
+    g = np.asarray(metrics['layer_grad_norms'])
+    p = np.asarray(metrics['layer_param_norms'])
+    assert g.shape == p.shape == (len(names),)
+    assert np.isfinite(g).all() and np.isfinite(p).all()
+    # Almost every layer has non-zero parameters; every name is distinct.
+    assert (p > 0).sum() > len(names) * 0.8
+    assert len(set(names)) == len(names)
+    assert any('encoder' in n for n in names) and any('decoder' in n for n in names)
+
+
+def test_check_numerics_localizes_nan(greater_root):
+    '''--check_numerics wraps the step in checkify float checks: a NaN input
+    batch raises a localized error (op-level traceback), the TPU analogue of
+    the reference's _CHECK_NAN probes (/root/reference/loss.py:12,61,151).'''
+    from occlusions4d_tpu.utils.logvis import StepLogger
+    from occlusions4d_tpu.data import create_train_val_loaders
+    cfg = _tiny_cfg(greater_root, check_numerics=True)
+    logger = StepLogger(context='checkify', batch_size=cfg.batch_size)
+    kind, train_loader, _, _ = create_train_val_loaders(cfg, logger)
+    trainer = Trainer(cfg, kind, logger=logger)
+    assert not trainer.pipeline.fused_decoder  # checkify needs the XLA path.
+    batches = []
+    for i, b in enumerate(train_loader.epoch(0)):
+        batches.append(b)
+        if i >= 1:
+            break
+    trainer.init_state(batches[0], steps_per_epoch=2)
+
+    bad = {k: (np.full_like(v, np.nan) if k == 'pcl_input' else v)
+           for k, v in batches[1].items() if k != 'meta_data'}
+    bad['meta_data'] = batches[1]['meta_data']
+    with pytest.raises(Exception, match='(?i)nan'):
+        trainer.run_epoch(0, 'train', iter([batches[0], bad, batches[0]]),
+                          num_steps=3)
