@@ -320,7 +320,7 @@ class CarlaDataset:
             pcl_input = lidar_video_views[0][:keep]
         else:
             pcl_input = lidar_video_views[0]
-        rng.shuffle(pcl_input)
+        pcl_input = common.shuffle_rows(pcl_input, rng)
         pcl_input, pcl_input_size = common.subsample_pad(
             pcl_input, self.n_fps_input, mode='farthest_point', rng=rng,
             fps_start=rng.randint(max(pcl_input.shape[0], 1)))
@@ -335,7 +335,7 @@ class CarlaDataset:
         pcl_target, pcl_target_size = [], []
         for t in range(self.pcl_target_frames):
             frame = lidar_merged_frames[-self.pcl_target_frames + t]
-            rng.shuffle(frame)
+            frame = common.shuffle_rows(frame, rng)
             frame = frame[np.asarray(cuboid_mask(frame, out_cub))]
             if frame.shape[0] < self.min_target_size:
                 self.logger.warning(f'Invalid due to pcl_target_size: {frame.shape[0]}')

@@ -99,6 +99,17 @@ def pick_biased_frame_start(occl_curve, frame_low, frame_start_high, time_shift,
     return None, -1, -1.0
 
 
+def shuffle_rows(a, rng):
+    '''Row shuffle of an (N, D) array via permutation + gather. Semantically a
+    plain random shuffle (like the reference's np.random.shuffle on clouds,
+    data_greater.py:485), but ~15x faster: RandomState.shuffle on a
+    multidimensional array falls back to a per-swap buffer-copy loop (~1.1 s
+    for 786k x 8 f32; permutation + fancy gather is ~70 ms). Draws a different
+    RandomState sequence than in-place shuffle, which is fine — the stream is
+    only pinned per (seed, epoch, index), not to a specific op sequence.'''
+    return a[rng.permutation(a.shape[0])]
+
+
 def subsample_pad(pcl, n_desired, mode='random', rng=None, retain_vehped=False,
                   segm_idx=None, fps_start=0):
     '''

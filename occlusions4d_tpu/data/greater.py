@@ -387,7 +387,7 @@ class GreaterDataset:
             pcl_input = pcl_video_views[src_view][:keep]
         else:
             pcl_input = pcl_video_views[src_view]
-        rng.shuffle(pcl_input)
+        pcl_input = common.shuffle_rows(pcl_input, rng)
         pcl_input, pcl_input_size = common.subsample_pad(
             pcl_input, self.n_fps_input, mode='farthest_point', rng=rng,
             fps_start=rng.randint(max(pcl_input.shape[0], 1)))
@@ -398,7 +398,7 @@ class GreaterDataset:
         pcl_target, pcl_target_size = [], []
         for t in range(self.pcl_target_frames):
             frame = pcl_merged_frames[-self.pcl_target_frames + t]
-            rng.shuffle(frame)
+            frame = common.shuffle_rows(frame, rng)
             if self.n_fps_target != 0:
                 mode = 'farthest_point' if self.n_fps_target > 0 else 'random'
                 frame, size = common.subsample_pad(frame, tgt_cap, mode=mode, rng=rng)
