@@ -136,7 +136,11 @@ class InferenceEngine:
                         default-matmul context for the backbone - same oracle
                         numerics as the module+HIGHEST path (pinned by
                         tests/test_pallas_ops.py::test_fused_field_highest_
-                        matches_module_highest) at a fraction of its latency.
+                        matches_module_highest). Measured 1802 vs 1872 ms at
+                        the reference workload - only ~4% cheaper: HIGHEST
+                        costs 3x the MXU passes wherever it runs, so fusion
+                        barely moves parity-grade latency ('fast' owes its
+                        4.8x to bf16, not to fusion).
             'auto'    - 'fast' on TPU when the config is fused-supported,
                         else 'f32'.
             Measured at the reference workload (534528 grid queries, gv1 scale,

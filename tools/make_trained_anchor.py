@@ -1,0 +1,124 @@
+'''
+Build the trained mini-checkpoint anchor committed under tests/assets/anchor/.
+
+Trains the tiny GREATER configuration (the tests/test_train.py `_tiny_cfg`
+architecture) to overfit one synthetic scene through the PRODUCTION CLI glue
+(config.train_args -> train.main), then evaluates it through the production
+test driver (config.test_args -> evaluate.main --save_metrics) and copies the
+resulting rolling checkpoint + metrics.json into tests/assets/anchor/.
+
+The committed artifact is the repo's end-to-end "learns and reconstructs"
+proof and a metrics tripwire: tests/test_anchor.py regenerates the identical
+synthetic scene (data/synthetic.py is fully seed-deterministic), reloads the
+checkpoint, re-runs the same eval, and asserts the metrics reproduce. Run on
+the CPU backend so the anchor is bit-stable against the CPU-mesh test suite:
+
+    JAX_PLATFORMS=cpu python tools/make_trained_anchor.py
+
+(BASELINE.md north star "density/seg parity"; the reference's released
+pretrained/*.pth oracles are stripped from /root/reference, so a self-trained
+anchor is the strongest committable equivalent.)
+'''
+
+import argparse
+import json
+import os
+import shutil
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ASSETS = os.path.join(REPO, 'tests', 'assets', 'anchor')
+
+# Synthetic-scene generation parameters; tests/test_anchor.py must regenerate
+# with EXACTLY these (stored in gen.json for the test to consume).
+GEN = dict(num_scenes=1, num_views=2, num_frames=16, image_size=32,
+           stages=('train', 'val', 'test'))
+
+# The tiny architecture (mirrors tests/test_train.py::_tiny_cfg /
+# tests/test_cli_main.py::TRAIN_ARCH).
+ARCH_ARGV = [
+    '--n_points', '256', '--n_data_rnd', '512', '--video_len', '4',
+    '--frame_skip', '2', '--past_frames', '2', '--future_frames', '0',
+    '--pt_cube_bounds', '5.0', '--pt_feat_dim', '4', '--up_down_blocks', '2',
+    '--transition_factor', '4', '--pt_num_neighbors', '4',
+    '--down_neighbors', '4', '--global_size', '8', '--num_cr_local_feats', '4',
+    '--implicit_mlp_blocks', '3', '--cross_attn_layers', '1',
+    '--cross_attn_neighbors', '4', '--num_cr_solid', '64',
+    '--color_mode', 'rgb_nosigmoid', '--color_lw', '1.0',
+    '--tracking_lw', '1.0', '--seed', '7',
+]
+
+# num_sample 131072: at the anchor's 10 x 10 x 6 cube this gives ~0.17 grid
+# spacing, matching the 0.2 occupancy radius; coarser grids (4096 -> ~0.5
+# spacing) artificially floor precision/recall (measured F1 0.18 vs 0.44 for
+# the same checkpoint), and 4x denser changes F1 by <0.01.
+EVAL_ARGV = [
+    '--num_sample', '131072', '--point_sample_mode', 'grid',
+    '--density_threshold', '0.5', '--save_metrics', 'true',
+    '--use_json', 'false', '--use_data_frac', '-2',
+    '--num_workers', '1', '--seed', '7',
+]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--epochs', type=int, default=4)
+    p.add_argument('--data_frac', type=float, default=0.25)
+    p.add_argument('--workdir', default='')
+    args = p.parse_args(argv)
+
+    from occlusions4d_tpu.config import train_args as parse_train_args
+    from occlusions4d_tpu.config import test_args as parse_test_args
+    from occlusions4d_tpu.data import synthetic
+    from occlusions4d_tpu import train as train_mod
+    from occlusions4d_tpu.evaluate import test_driver
+
+    work = args.workdir or tempfile.mkdtemp(prefix='anchor_')
+    data = os.path.join(work, 'data')
+    ckpt = os.path.join(work, 'checkpoints')
+    logs = os.path.join(work, 'logs')
+    if not os.path.isdir(os.path.join(data, 'train')):
+        synthetic.make_greater_dataset(data, **GEN)
+
+    train_argv = ARCH_ARGV + [
+        '--data_path', data, '--name', 'anchor',
+        '--checkpoint_root', ckpt, '--log_root', logs,
+        '--num_epochs', str(args.epochs), '--batch_size', '2',
+        '--data_parallel', '1', '--use_data_frac', str(args.data_frac),
+        '--num_workers', '2',
+    ]
+    cfg = parse_train_args(train_argv)
+    print(f'[anchor] training {args.epochs} epochs -> {cfg.output_path}',
+          flush=True)
+    trainer = train_mod.main(cfg)
+    del trainer
+
+    test_argv = EVAL_ARGV + [
+        '--data_path', data, '--resume', 'anchor', '--checkpoint_root', ckpt,
+    ]
+    targs = parse_test_args(test_argv)
+    print(f'[anchor] evaluating {targs.resume}', flush=True)
+    summary = test_driver.main(targs)
+    print('[anchor] metrics:', json.dumps(summary['mean'], sort_keys=True),
+          flush=True)
+
+    import glob
+    tdirs = glob.glob(os.path.join(targs.log_path, 'test_*'))
+    assert tdirs, targs.log_path
+    mfile = os.path.join(tdirs[0], 'metrics.json')
+    assert os.path.isfile(mfile)
+
+    os.makedirs(ASSETS, exist_ok=True)
+    shutil.copy(os.path.join(cfg.output_path, 'checkpoint.pkl'),
+                os.path.join(ASSETS, 'checkpoint.pkl'))
+    shutil.copy(mfile, os.path.join(ASSETS, 'metrics.json'))
+    with open(os.path.join(ASSETS, 'gen.json'), 'w') as f:
+        json.dump(dict(GEN, stages=list(GEN['stages']),
+                       eval_argv=EVAL_ARGV), f, indent=1)
+    size = os.path.getsize(os.path.join(ASSETS, 'checkpoint.pkl'))
+    print(f'[anchor] wrote {ASSETS} (checkpoint {size / 1024:.0f} KiB)',
+          flush=True)
+
+
+if __name__ == '__main__':
+    main()
