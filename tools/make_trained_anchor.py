@@ -34,16 +34,17 @@ ASSETS = os.path.join(REPO, 'tests', 'assets', 'anchor')
 GEN = dict(num_scenes=1, num_views=2, num_frames=16, image_size=32,
            stages=('train', 'val', 'test'))
 
-# The tiny architecture (mirrors tests/test_train.py::_tiny_cfg /
-# tests/test_cli_main.py::TRAIN_ARCH).
+# A mini architecture: the tests/test_train.py `_tiny_cfg` family, scaled up
+# just enough to genuinely reconstruct the scene (pt_feat_dim 8, 256 solid
+# queries/frame) while keeping the checkpoint a few hundred KiB.
 ARCH_ARGV = [
     '--n_points', '256', '--n_data_rnd', '512', '--video_len', '4',
     '--frame_skip', '2', '--past_frames', '2', '--future_frames', '0',
-    '--pt_cube_bounds', '5.0', '--pt_feat_dim', '4', '--up_down_blocks', '2',
+    '--pt_cube_bounds', '5.0', '--pt_feat_dim', '8', '--up_down_blocks', '2',
     '--transition_factor', '4', '--pt_num_neighbors', '4',
-    '--down_neighbors', '4', '--global_size', '8', '--num_cr_local_feats', '4',
+    '--down_neighbors', '4', '--global_size', '16', '--num_cr_local_feats', '4',
     '--implicit_mlp_blocks', '3', '--cross_attn_layers', '1',
-    '--cross_attn_neighbors', '4', '--num_cr_solid', '64',
+    '--cross_attn_neighbors', '4', '--num_cr_solid', '256',
     '--color_mode', 'rgb_nosigmoid', '--color_lw', '1.0',
     '--tracking_lw', '1.0', '--seed', '7',
 ]
@@ -52,19 +53,28 @@ ARCH_ARGV = [
 # spacing, matching the 0.2 occupancy radius; coarser grids (4096 -> ~0.5
 # spacing) artificially floor precision/recall (measured F1 0.18 vs 0.44 for
 # the same checkpoint), and 4x denser changes F1 by <0.01.
+#
+# The eval runs on the TRAIN-stage scene (EVAL_STAGE): the anchor's claim is
+# "overfits and reconstructs the scene it memorized" (the stage seeds differ,
+# data/synthetic.py:158, so the test-stage scene would measure generalization
+# of a deliberately tiny model instead - measured F1 0.41 there vs 0.55 here,
+# against a ~0.8 structural ceiling set by the 512-point target sparsity).
+EVAL_STAGE = 'train'
 EVAL_ARGV = [
     '--num_sample', '131072', '--point_sample_mode', 'grid',
     '--density_threshold', '0.5', '--save_metrics', 'true',
-    '--use_json', 'false', '--use_data_frac', '-2',
+    '--use_json', 'false', '--use_data_frac', '0.2',
     '--num_workers', '1', '--seed', '7',
 ]
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument('--epochs', type=int, default=4)
-    p.add_argument('--data_frac', type=float, default=0.25)
+    p.add_argument('--epochs', type=int, default=24)
+    p.add_argument('--data_frac', type=float, default=0.5)
     p.add_argument('--workdir', default='')
+    p.add_argument('--skip_train', action='store_true',
+                   help='reuse the checkpoint already in --workdir; eval only')
     args = p.parse_args(argv)
 
     from occlusions4d_tpu.config import train_args as parse_train_args
@@ -88,13 +98,19 @@ def main(argv=None):
         '--num_workers', '2',
     ]
     cfg = parse_train_args(train_argv)
-    print(f'[anchor] training {args.epochs} epochs -> {cfg.output_path}',
-          flush=True)
-    trainer = train_mod.main(cfg)
-    del trainer
+    if args.skip_train:
+        assert os.path.isfile(os.path.join(cfg.output_path, 'checkpoint.pkl')), \
+            cfg.output_path
+        print(f'[anchor] reusing checkpoint in {cfg.output_path}', flush=True)
+    else:
+        print(f'[anchor] training {args.epochs} epochs -> {cfg.output_path}',
+              flush=True)
+        trainer = train_mod.main(cfg)
+        del trainer
 
     test_argv = EVAL_ARGV + [
-        '--data_path', data, '--resume', 'anchor', '--checkpoint_root', ckpt,
+        '--data_path', os.path.join(data, EVAL_STAGE),
+        '--resume', 'anchor', '--checkpoint_root', ckpt,
     ]
     targs = parse_test_args(test_argv)
     print(f'[anchor] evaluating {targs.resume}', flush=True)
@@ -102,11 +118,9 @@ def main(argv=None):
     print('[anchor] metrics:', json.dumps(summary['mean'], sort_keys=True),
           flush=True)
 
-    import glob
-    tdirs = glob.glob(os.path.join(targs.log_path, 'test_*'))
-    assert tdirs, targs.log_path
-    mfile = os.path.join(tdirs[0], 'metrics.json')
-    assert os.path.isfile(mfile)
+    mfile = os.path.join(targs.log_path, 'test_' + targs.test_tag,
+                         'metrics.json')
+    assert os.path.isfile(mfile), mfile
 
     os.makedirs(ASSETS, exist_ok=True)
     shutil.copy(os.path.join(cfg.output_path, 'checkpoint.pkl'),
@@ -114,7 +128,7 @@ def main(argv=None):
     shutil.copy(mfile, os.path.join(ASSETS, 'metrics.json'))
     with open(os.path.join(ASSETS, 'gen.json'), 'w') as f:
         json.dump(dict(GEN, stages=list(GEN['stages']),
-                       eval_argv=EVAL_ARGV), f, indent=1)
+                       eval_stage=EVAL_STAGE, eval_argv=EVAL_ARGV), f, indent=1)
     size = os.path.getsize(os.path.join(ASSETS, 'checkpoint.pkl'))
     print(f'[anchor] wrote {ASSETS} (checkpoint {size / 1024:.0f} KiB)',
           flush=True)
