@@ -69,9 +69,17 @@ extern "C" {
 // skipped for an iteration when the squared distance from the new pick to its
 // bbox is >= its stored max (then d(i, pick) >= lb >= max >= min_d[i] for
 // every member, so no update can happen and the stored max/argmax stay
-// valid). The greedy pick sequence is exact; only the scan order used to
-// break exact floating-point argmax ties differs from the naive loop.
-// The dataloader's 14336-of-~170k input FPS drops from ~4 s to tens of ms.
+// valid). Chunks are grouped 16-to-a-superchunk with union bboxes and the
+// running max of their children's maxima; a superchunk whose bbox lower
+// bound is >= that running max skips all 16 children with one test (the
+// child bound is >= the super bound, so each child's own skip condition
+// already held — the set of scanned chunks, and hence every float, is
+// bit-identical to the flat scan). This turns the two O(n_out * nchunks)
+// serial loops (per-chunk bound tests + global argmax) into
+// O(n_out * nsupers) ones. The greedy pick sequence is exact; only the scan
+// order used to break exact floating-point argmax ties differs from the
+// naive loop. The dataloader's 14336-of-~170k input FPS drops from ~4 s to
+// tens of ms.
 void o4d_fps(const float* xyz, int64_t n, int64_t n_out, int64_t start_idx,
              int32_t* out_idx, float* scratch_min_d) {
     if (n <= 0 || n_out <= 0) return;
@@ -137,38 +145,80 @@ void o4d_fps(const float* xyz, int64_t n, int64_t n_out, int64_t start_idx,
         cargmax[c] = (int32_t)i0;
     }
 
+    // Superchunk level: union bboxes + running max over child maxima.
+    const int64_t S = 16;
+    const int64_t nsup = (nchunks + S - 1) / S;
+    std::vector<float> slo(nsup * 3), shi(nsup * 3);
+    std::vector<float> smax(nsup, FLT_MAX);
+    std::vector<int32_t> schild(nsup);
+    for (int64_t u = 0; u < nsup; u++) {
+        const int64_t c0 = u * S, c1 = std::min(nchunks, c0 + S);
+        for (int d = 0; d < 3; d++) {
+            float l = FLT_MAX, h = -FLT_MAX;
+            for (int64_t c = c0; c < c1; c++) {
+                l = std::min(l, clo[c * 3 + d]);
+                h = std::max(h, chi[c * 3 + d]);
+            }
+            slo[u * 3 + d] = l;
+            shi[u * 3 + d] = h;
+        }
+        schild[u] = (int32_t)c0;
+    }
+
     out_idx[0] = (int32_t)start_idx;
     for (int64_t s = 1; s < n_out; s++) {
         const float cx = px[cur_sorted];
         const float cy = py[cur_sorted];
         const float cz = pz[cur_sorted];
-        for (int64_t c = 0; c < nchunks; c++) {
-            const float gx = std::max({clo[c * 3 + 0] - cx, cx - chi[c * 3 + 0], 0.0f});
-            const float gy = std::max({clo[c * 3 + 1] - cy, cy - chi[c * 3 + 1], 0.0f});
-            const float gz = std::max({clo[c * 3 + 2] - cz, cz - chi[c * 3 + 2], 0.0f});
-            const float lb2 = gx * gx + gy * gy + gz * gz;
-            if (lb2 >= cmax[c]) continue;  // no member's min_d can change.
-            const int64_t i0 = c * C, i1 = std::min(n, i0 + C);
-            float m = -1.0f;
-            int64_t mi = i0;
-            for (int64_t i = i0; i < i1; i++) {
-                const float dx = px[i] - cx;
-                const float dy = py[i] - cy;
-                const float dz = pz[i] - cz;
-                const float d = dx * dx + dy * dy + dz * dz;
-                const float nd = d < min_d[i] ? d : min_d[i];
-                min_d[i] = nd;
-                if (nd > m) { m = nd; mi = i; }
+        for (int64_t u = 0; u < nsup; u++) {
+            const float sx = std::max({slo[u * 3 + 0] - cx, cx - shi[u * 3 + 0], 0.0f});
+            const float sy = std::max({slo[u * 3 + 1] - cy, cy - shi[u * 3 + 1], 0.0f});
+            const float sz = std::max({slo[u * 3 + 2] - cz, cz - shi[u * 3 + 2], 0.0f});
+            // Super bound <= every child bound: skipping here is exactly the
+            // per-child skip firing for all 16 children.
+            if (sx * sx + sy * sy + sz * sz >= smax[u]) continue;
+            const int64_t c0 = u * S, c1 = std::min(nchunks, c0 + S);
+            bool touched = false;
+            for (int64_t c = c0; c < c1; c++) {
+                const float gx = std::max({clo[c * 3 + 0] - cx, cx - chi[c * 3 + 0], 0.0f});
+                const float gy = std::max({clo[c * 3 + 1] - cy, cy - chi[c * 3 + 1], 0.0f});
+                const float gz = std::max({clo[c * 3 + 2] - cz, cz - chi[c * 3 + 2], 0.0f});
+                const float lb2 = gx * gx + gy * gy + gz * gz;
+                if (lb2 >= cmax[c]) continue;  // no member's min_d can change.
+                touched = true;
+                const int64_t i0 = c * C, i1 = std::min(n, i0 + C);
+                float m = -1.0f;
+                int64_t mi = i0;
+                for (int64_t i = i0; i < i1; i++) {
+                    const float dx = px[i] - cx;
+                    const float dy = py[i] - cy;
+                    const float dz = pz[i] - cz;
+                    const float d = dx * dx + dy * dy + dz * dz;
+                    const float nd = d < min_d[i] ? d : min_d[i];
+                    min_d[i] = nd;
+                    if (nd > m) { m = nd; mi = i; }
+                }
+                cmax[c] = m;
+                cargmax[c] = (int32_t)mi;
             }
-            cmax[c] = m;
-            cargmax[c] = (int32_t)mi;
+            if (touched || smax[u] == FLT_MAX) {
+                // Recompute the running (max, first-argmax) over the children
+                // (also resolves the FLT_MAX sentinel once real maxima exist).
+                float m = -1.0f;
+                int64_t mc = c0;
+                for (int64_t c = c0; c < c1; c++) {
+                    if (cmax[c] > m) { m = cmax[c]; mc = c; }
+                }
+                smax[u] = m;
+                schild[u] = (int32_t)mc;
+            }
         }
         float best = -1.0f;
-        int64_t best_c = 0;
-        for (int64_t c = 0; c < nchunks; c++) {
-            if (cmax[c] > best) { best = cmax[c]; best_c = c; }
+        int64_t best_u = 0;
+        for (int64_t u = 0; u < nsup; u++) {
+            if (smax[u] > best) { best = smax[u]; best_u = u; }
         }
-        cur_sorted = cargmax[best_c];
+        cur_sorted = cargmax[schild[best_u]];
         out_idx[s] = orig[cur_sorted];
     }
 }
