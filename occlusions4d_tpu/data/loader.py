@@ -271,11 +271,19 @@ def create_test_loader(cfg, dset_args, logger):
     dset_args['verbose'] = 'dbg' in cfg.name
     dset_args['use_json'] = cfg.use_json
 
-    # worker_mode is a SharedConfig field: honor it at test time too, and make
-    # shared_counters consistent with the mode actually used here (the
-    # checkpoint-stored dset_args may carry the train run's value).
+    # worker_mode='process' cannot be honored at test time: dset_args come from
+    # the checkpoint, so load_models has ALREADY initialized the (multi-
+    # threaded) JAX runtime by the time this loader can exist, and the Loader's
+    # eager fork would then be exactly the fork-after-runtime hazard process
+    # mode is designed to avoid. Fall back to threads; strip any train-time
+    # shared_counters carried in the stored dset_args (no forks to share with).
     mode = getattr(cfg, 'worker_mode', 'thread')
-    dset_args['shared_counters'] = (mode == 'process' and cfg.num_workers > 1)
+    if mode == 'process':
+        logger.warning('worker_mode=process is train-only (the test loader is '
+                       'built after the JAX runtime initializes; forking now '
+                       'could deadlock workers) - using threads.')
+        mode = 'thread'
+    dset_args['shared_counters'] = False
 
     data_kind = 'carla' if 'carla' in cfg.data_path.lower() else 'greater'
     if data_kind == 'carla':

@@ -104,9 +104,14 @@ def make_train_step(pipeline: TrainPipeline, tx, watch_networks=False,
         _CHECK_NAN probes, /root/reference/loss.py:12,61,151,
         pipeline.py:17,113. user_checks (not op-level float_checks): explicit
         probes keep the checkify graph compilable at full pipeline scale.
+
+    The returned step takes an optional want_norms flag (traced, so no
+    recompile): the per-layer norms are only computed on steps where the host
+    will actually read them (the 32-step logging cadence) — hundreds of small
+    reductions otherwise paid on every step.
     '''
 
-    def step_fn(state, batch, rng):
+    def step_fn(state, batch, rng, want_norms=True):
         params, opt_state, step = state['params'], state['opt_state'], state['step']
         (loss, (losses, aux)), grads = jax.value_and_grad(
             pipeline.loss, has_aux=True)(params, batch, rng)
@@ -138,23 +143,47 @@ def make_train_step(pipeline: TrainPipeline, tx, watch_networks=False,
                        solid_sbs=aux['solid_sbs'], air_sbs=aux['air_sbs'],
                        **{f'loss_{k}': v for k, v in losses.items()})
         if watch_networks:
-            metrics['layer_grad_norms'] = _leaf_norms(grads)
-            metrics['layer_param_norms'] = _leaf_norms(new_params)
+            n_leaves = len(jax.tree_util.tree_leaves(grads))
+            zeros = jnp.zeros((n_leaves,), jnp.float32)
+            norms = jax.lax.cond(
+                want_norms,
+                lambda: (_leaf_norms(grads), _leaf_norms(new_params)),
+                lambda: (zeros, zeros))
+            metrics['layer_grad_norms'] = norms[0]
+            metrics['layer_param_norms'] = norms[1]
         new_state = dict(params=new_params, opt_state=new_opt_state, step=step + 1)
         return new_state, metrics
 
     if check_numerics:
         from jax.experimental import checkify
 
-        def checked_fn(state, batch, rng):
+        def checked_fn(state, batch, rng, want_norms=True):
             err, out = checkify.checkify(
-                step_fn, errors=checkify.user_checks)(state, batch, rng)
+                step_fn, errors=checkify.user_checks)(state, batch, rng,
+                                                      want_norms)
             new_state, metrics = out
             metrics = dict(metrics, numerics_err=err)
             return new_state, metrics
 
         return jax.jit(checked_fn, donate_argnums=(0,))
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def _checkified(fn):
+    '''jit fn with the pipeline's _numerics_probe checkify.check probes
+    functionalized, throwing any localized NaN/Inf error host-side. Needed by
+    every jit of pipeline.forward under --check_numerics: an un-functionalized
+    checkify.check cannot be lowered (ValueError at trace time).'''
+    from jax.experimental import checkify
+    jitted = jax.jit(
+        lambda *a: checkify.checkify(fn, errors=checkify.user_checks)(*a))
+
+    def wrapped(*a):
+        err, out = jitted(*a)
+        err.throw()
+        return out
+
+    return wrapped
 
 
 def make_viz_step(pipeline: TrainPipeline):
@@ -176,6 +205,8 @@ def make_viz_step(pipeline: TrainPipeline):
                     features_global=aux['features_global'],
                     layer_coords=aux['layer_coords'])
 
+    if pipeline.debug_checks:
+        return _checkified(viz_fn)
     return jax.jit(viz_fn)
 
 
@@ -186,6 +217,8 @@ def make_eval_step(pipeline: TrainPipeline):
         loss = total_loss(losses, pipeline.cfg.loss_config)
         return dict(total_loss=loss, sample_ok=aux['sample_ok'],
                     **{f'loss_{k}': v for k, v in losses.items()})
+    if pipeline.debug_checks:
+        return _checkified(eval_fn)
     return jax.jit(eval_fn)
 
 
@@ -326,23 +359,6 @@ class Trainer:
                 batch = next(data_iter, None)
             if batch is None:
                 break
-            # Per-step NaN guard without a same-step sync stall
-            # (/root/reference/train.py:112-122 checks every step): the
-            # previous step's on-device flags are fetched while THIS step's
-            # batch was being loaded, so by now the device is (almost always)
-            # done and the read is free - and the poison-pill raise still
-            # happens before the next optimizer update is dispatched.
-            if prev_guard is not None:
-                with timer.phase('guard'):
-                    g_fin, p_fin = (bool(np.asarray(prev_guard[0])),
-                                    bool(np.asarray(prev_guard[1])))
-                    if prev_guard[2] is not None:
-                        prev_guard[2].throw()  # checkify: localized NaN/Inf op.
-                prev_guard = None
-                if not g_fin:
-                    self.logger.error('NaN/Inf gradient detected! Step skipped.')
-                if not p_fin:
-                    raise RuntimeError('NaN model parameter detected!')
             rng, k = jax.random.split(rng)
             try:
                 # meta_data and image stacks stay on host (bookkeeping / visuals,
@@ -364,12 +380,34 @@ class Trainer:
 
             with timer.phase('step'):
                 if is_train:
-                    self.state, metrics = self._train_step(self.state, batch, k)
-                    prev_guard = (metrics['grads_finite'],
-                                  metrics['params_finite'],
-                                  metrics.pop('numerics_err', None))
+                    self.state, metrics = self._train_step(
+                        self.state, batch, k, cur_step % 32 == 0)
+                    new_guard = (metrics['grads_finite'],
+                                 metrics['params_finite'],
+                                 metrics.pop('numerics_err', None))
                 else:
                     metrics = self._eval_step(self.state, batch, k)
+                    new_guard = None
+
+            # Per-step NaN guard (/root/reference/train.py:112-122 checks every
+            # step) checked AFTER this step is queued: the D2H fetch waits on
+            # step N-1 (already retiring) while the device executes step N, so
+            # the device never idles on the guard. The poison-pill raise still
+            # precedes step N+1's dispatch, and the one step dispatched on
+            # poisoned params only performs a guard-skipped (no-op) update.
+            if is_train:
+                if prev_guard is not None:
+                    with timer.phase('guard'):
+                        g_fin, p_fin = (bool(np.asarray(prev_guard[0])),
+                                        bool(np.asarray(prev_guard[1])))
+                        if prev_guard[2] is not None:
+                            prev_guard[2].throw()  # checkify: localized NaN/Inf.
+                    if not g_fin:
+                        self.logger.error('NaN/Inf gradient detected! '
+                                          'Step skipped.')
+                    if not p_fin:
+                        raise RuntimeError('NaN model parameter detected!')
+                prev_guard = new_guard
 
             if (is_train and self.logger.log_dir is not None
                     and cur_step % max(self.cfg.viz_interval, 1) == 0):

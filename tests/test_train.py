@@ -327,11 +327,12 @@ def test_carla_cv1_flavor_train_step(tmp_path_factory):
 
 
 def test_per_step_nan_param_guard(trained):
-    '''The NaN-parameter poison pill fires within ONE step of corruption (the
+    '''The NaN-parameter poison pill fires within one step of corruption (the
     reference checks every step, /root/reference/train.py:112-122): params are
-    poisoned while step 2's batch is being fetched, step 2 is the last update
-    dispatched, and the raise lands BEFORE step 3's optimizer update - with no
-    per-step device sync (the guard reads the previous step's flags).'''
+    poisoned while step 2's batch is being fetched; step 2's guard is read
+    right after step 3 is queued (so the device never idles on the fetch), and
+    the raise lands before step 4. Step 3 - the only update dispatched on
+    poisoned params - is a guard-skipped no-op (NaN params give NaN grads).'''
     from occlusions4d_tpu.utils.logvis import StepLogger
     cfg, trainer, batches = trained
     # Snapshot (not alias): the train step donates its input state buffers.
@@ -358,10 +359,15 @@ def test_per_step_nan_param_guard(trained):
             trainer.run_epoch(0, 'train', gen(), num_steps=6)
     finally:
         trainer.logger = orig_logger
-    # Steps 0, 1, 2 dispatched; the guard caught step 2's non-finite params
-    # before step 3's update could be dispatched.
-    assert int(np.asarray(trainer.state['step'])) == step0 + 3
-    assert consumed == [0, 1, 2, 3]  # batch 3 fetched, its step never ran.
+    # Steps 0-3 dispatched (the guard for step 2 is checked after step 3 is
+    # queued); the raise precedes step 4, and step 3's update was skipped by
+    # the on-device grads_finite guard.
+    assert int(np.asarray(trainer.state['step'])) == step0 + 4
+    assert consumed == [0, 1, 2, 3]  # batch 4 was never fetched.
+    # Steps 2/3 ran on poisoned params -> NaN grads -> updates skipped: every
+    # other leaf is still finite (no corruption spread).
+    assert all(bool(np.all(np.isfinite(np.asarray(p))))
+               for p in jax.tree_util.tree_leaves(trainer.state['params'])[1:])
     trainer.state = state0  # restore for sibling tests (module-scoped fixture).
 
 
@@ -413,15 +419,26 @@ def test_watch_networks_layer_norms(trained):
     assert len(set(names)) == len(names)
     assert any('encoder' in n for n in names) and any('decoder' in n for n in names)
 
+    # want_norms=False skips the norm computation (run_epoch passes the 32-step
+    # logging cadence so off-cadence steps don't pay the reductions).
+    state2 = jax.tree_util.tree_map(jnp.copy, trainer.state)
+    _, m2 = step(state2, b, jax.random.PRNGKey(0), False)
+    assert np.asarray(m2['layer_param_norms']).max() == 0.0
 
-def test_check_numerics_localizes_nan(greater_root):
+
+def test_check_numerics_localizes_nan(greater_root, tmp_path):
     '''--check_numerics wraps the step in checkify float checks: a NaN input
     batch raises a localized error (op-level traceback), the TPU analogue of
-    the reference's _CHECK_NAN probes (/root/reference/loss.py:12,61,151).'''
+    the reference's _CHECK_NAN probes (/root/reference/loss.py:12,61,151).
+    The viz and eval steps jit the same probed pipeline.forward, so they must
+    be checkified too (un-functionalized checkify.check fails at trace time) -
+    exercised here via a log_dir train epoch (viz export at step 0) and a
+    val_aug epoch.'''
     from occlusions4d_tpu.utils.logvis import StepLogger
     from occlusions4d_tpu.data import create_train_val_loaders
     cfg = _tiny_cfg(greater_root, check_numerics=True)
-    logger = StepLogger(context='checkify', batch_size=cfg.batch_size)
+    logger = StepLogger(log_dir=str(tmp_path / 'logs'), context='checkify',
+                        batch_size=cfg.batch_size)
     kind, train_loader, _, _ = create_train_val_loaders(cfg, logger)
     trainer = Trainer(cfg, kind, logger=logger)
     assert not trainer.pipeline.fused_decoder  # checkify needs the XLA path.
@@ -431,6 +448,11 @@ def test_check_numerics_localizes_nan(greater_root):
         if i >= 1:
             break
     trainer.init_state(batches[0], steps_per_epoch=2)
+
+    # Clean passes through all three checkified jits (train + viz at step 0,
+    # then eval): must run, not ValueError at trace.
+    trainer.run_epoch(0, 'train', iter([batches[0]]), num_steps=1)
+    trainer.run_epoch(0, 'val_aug', iter([batches[0]]), num_steps=1)
 
     bad = {k: (np.full_like(v, np.nan) if k == 'pcl_input' else v)
            for k, v in batches[1].items() if k != 'meta_data'}
