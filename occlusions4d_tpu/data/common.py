@@ -111,45 +111,61 @@ def shuffle_rows(a, rng):
 
 
 def subsample_pad(pcl, n_desired, mode='random', rng=None, retain_vehped=False,
-                  segm_idx=None, fps_start=0):
+                  segm_idx=None, fps_start=0, shuffle=False):
     '''
     Fixed-capacity resize of an (N, D) cloud (geometry.py:263-381):
       * N < n_desired: zero-pad (true size returned);
       * N > n_desired: 'random' subsample (sorted indices) or 'farthest_point' FPS;
         retain_vehped keeps all semantic-tag 4/10 rows (geometry.py:330-343).
+    shuffle=True is bit-identical to shuffle_rows(pcl, rng) followed by this
+    function (same rng stream: permutation first), but composes the permutation
+    with the subsample gather so 'random' mode only materializes the kept rows
+    (a ~200k-row frame gathers 28k rows instead of all of them).
     :return (out (n_desired, D), true_size int).
     '''
     rng = np.random if rng is None else rng
     (N, D) = pcl.shape
+    perm = rng.permutation(N) if shuffle else None
+
+    def take(idx):  # rows of the (virtually) shuffled cloud.
+        return pcl[perm[idx]] if perm is not None else pcl[idx]
+
     if N < n_desired:
         out = np.zeros((n_desired, D), pcl.dtype)
-        out[:N] = pcl
+        out[:N] = pcl if perm is None else pcl[perm]
         return out, N
     if N == n_desired:
-        return pcl, N
+        return (pcl if perm is None else pcl[perm]), N
 
     n_remain = n_desired
     retain = None
     pool = np.arange(N)
     if retain_vehped:
         assert segm_idx is not None
-        retain_mask = np.logical_or(pcl[:, segm_idx] == 4, pcl[:, segm_idx] == 10)
+        seg = pcl[:, segm_idx] if perm is None else pcl[perm, segm_idx]
+        retain_mask = np.logical_or(seg == 4, seg == 10)
         retain = np.where(retain_mask)[0]
-        pool = np.where(pcl[:, segm_idx] != 10)[0]
+        pool = np.where(seg != 10)[0]
         n_remain -= retain.shape[0]
 
     if mode == 'random':
+        # choice(pool, n, replace=False) draws permutation(len(pool)) from the
+        # stream regardless of pool contents, so the shuffled-space selection
+        # consumes exactly what the pre-shuffled call consumed.
         inds = rng.choice(pool, min(max(n_remain, 0), pool.shape[0]), replace=False)
         inds.sort()
     elif mode == 'farthest_point':
         assert not retain_vehped
+        if perm is not None:
+            pcl = pcl[perm]  # FPS consumes every row: materialize once.
+            perm = None
         inds = fps_host(pcl[:, :3], n_remain, start_idx=fps_start)
     else:
         raise ValueError(mode)
 
-    out = pcl[inds]
+    out = take(inds)
     if retain is not None:
-        out = np.concatenate([pcl[retain], out], axis=0)[:n_desired]
+        out = np.concatenate([take(retain), out], axis=0)[:n_desired]
         if out.shape[0] < n_desired:  # extreme vehped overflow guard.
             pad = np.zeros((n_desired - out.shape[0], D), pcl.dtype)
             out = np.concatenate([out, pad], axis=0)

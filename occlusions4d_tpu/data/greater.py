@@ -398,11 +398,14 @@ class GreaterDataset:
         pcl_target, pcl_target_size = [], []
         for t in range(self.pcl_target_frames):
             frame = pcl_merged_frames[-self.pcl_target_frames + t]
-            frame = common.shuffle_rows(frame, rng)
             if self.n_fps_target != 0:
                 mode = 'farthest_point' if self.n_fps_target > 0 else 'random'
-                frame, size = common.subsample_pad(frame, tgt_cap, mode=mode, rng=rng)
+                # shuffle=True == shuffle_rows + subsample (same rng stream),
+                # composed so only the kept rows are gathered.
+                frame, size = common.subsample_pad(frame, tgt_cap, mode=mode,
+                                                   rng=rng, shuffle=True)
             else:
+                frame = common.shuffle_rows(frame, rng)
                 frame, size = common.pad_rows(frame, tgt_cap)
             pcl_target.append(frame)
             pcl_target_size.append(size)

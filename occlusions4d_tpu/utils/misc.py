@@ -18,11 +18,17 @@ def accumulate_pcl_time(pcl):
     '''
     out = []
     for view in pcl:
-        frames = []
+        # Single preallocated fill (the concatenate chain copies every frame
+        # twice; at heavy scale this view buffer is ~25 MB).
+        total = sum(f.shape[0] for f in view)
+        buf = np.empty((total, view[0].shape[1] + 1), view[0].dtype)
+        o = 0
         for t, frame in enumerate(view):
-            tcol = np.full_like(frame[..., 0:1], float(t))
-            frames.append(np.concatenate([frame, tcol], axis=-1))
-        out.append(np.concatenate(frames, axis=0))
+            n = frame.shape[0]
+            buf[o:o + n, :-1] = frame
+            buf[o:o + n, -1] = float(t)
+            o += n
+        out.append(buf)
     return out
 
 
@@ -36,16 +42,21 @@ def merge_pcl_views(pcl, insert_view_idx=False):
     V, T = len(pcl), len(pcl[0])
     out = []
     for t in range(T):
-        parts = []
+        if not insert_view_idx:
+            out.append(np.concatenate([pcl[v][t] for v in range(V)], axis=0))
+            continue
+        total = sum(pcl[v][t].shape[0] for v in range(V))
+        D = pcl[0][t].shape[1]
+        buf = np.empty((total, D + 1), pcl[0][t].dtype)
+        o = 0
         for v in range(V):
             frame = pcl[v][t]
-            if insert_view_idx:
-                vcol = np.full_like(frame[..., 0:1], float(v))
-                parts.append(np.concatenate([frame[..., :-3], vcol, frame[..., -3:]],
-                                            axis=-1))
-            else:
-                parts.append(frame)
-        out.append(np.concatenate(parts, axis=0))
+            n = frame.shape[0]
+            buf[o:o + n, :D - 3] = frame[:, :-3]
+            buf[o:o + n, D - 3] = float(v)
+            buf[o:o + n, D - 2:] = frame[:, -3:]
+            o += n
+        out.append(buf)
     return out
 
 

@@ -347,3 +347,29 @@ def test_native_greater_frame_matches_numpy():
     np.testing.assert_array_equal(pcl_c, pcl_n)
     # Sane decode: some background (-1) and some clustered instance ids.
     assert (pcl_c[:, 3] == -1).any() and (pcl_c[:, 3] >= 0).any()
+
+
+def test_subsample_pad_fused_shuffle_bit_identical():
+    '''subsample_pad(shuffle=True) == shuffle_rows + subsample_pad, bit for
+    bit and rng-stream for rng-stream, across random / fps / pad / exact-fit /
+    retain_vehped paths (the fused form only gathers the kept rows).'''
+    from occlusions4d_tpu.data import common
+
+    def pair(case, **kw):
+        N = case
+        rng = np.random.RandomState(123)
+        pcl = (rng.rand(N, 9).astype(np.float32) * 8 - 4)
+        pcl[:, 5] = rng.randint(0, 12, N)  # semantic tags incl. 4 / 10.
+        r1, r2 = np.random.RandomState(7), np.random.RandomState(7)
+        a, na = common.subsample_pad(common.shuffle_rows(pcl, r1), **kw, rng=r1)
+        b, nb = common.subsample_pad(pcl, **kw, rng=r2, shuffle=True)
+        assert na == nb
+        np.testing.assert_array_equal(a, b)
+        # Identical stream position afterwards.
+        assert r1.randint(1 << 30) == r2.randint(1 << 30)
+
+    pair(5000, n_desired=300, mode='random')
+    pair(5000, n_desired=300, mode='farthest_point', fps_start=17)
+    pair(200, n_desired=300)                 # pad path.
+    pair(300, n_desired=300)                 # exact-fit path.
+    pair(5000, n_desired=300, mode='random', retain_vehped=True, segm_idx=5)
