@@ -13,7 +13,8 @@ tests/test_pallas_ops.py::test_fused_field_matches_module.
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas_attention import fused_knn_interp, fused_knn_vector_attention
+from ..ops.pallas_attention import (fused_knn_interp,
+                                    fused_knn_vector_attention, knn_extract)
 from .implicit import BASE_FREQUENCY, positional_encode
 
 __all__ = ['fused_field_apply', 'supports_fused']
@@ -59,11 +60,22 @@ def fused_field_apply(decoder, variables, points_query, pcl_abstract,
     (B, N, _) = points_query.shape
     q_xyz = points_query[..., :3]
 
+    # One shared exact-kNN extraction feeds the interp conditioning AND both
+    # cross-attention layers (forward + custom-VJP backward): without it each
+    # kernel re-runs the identical K-step serial argmin over the same
+    # (query, abstract) distance rows - the decoder's main non-MXU cost.
+    # Valid because interp's k (num_local_features) prefixes the attention k.
+    knn = None
+    if decoder.num_local_features <= decoder.cross_attn_neighbors:
+        knn = knn_extract(q_xyz, pts_abs, decoder.cross_attn_neighbors,
+                          key_mask=abstract_mask)
+
     # Local feature interpolation (implicit.py:328-339 semantics), one fused
     # kNN + inverse-distance-weighting pass.
     features_local = fused_knn_interp(
         q_xyz, pts_abs, feats_abs, decoder.num_local_features,
-        eps=1e-4, key_mask=abstract_mask, compute_dtype=compute_dtype)
+        eps=1e-4, key_mask=abstract_mask, compute_dtype=compute_dtype,
+        knn=knn)
     fg = jnp.broadcast_to(features_global[:, None, :],
                           (B, N, features_global.shape[-1]))
     features_query = jnp.concatenate([fg, features_local], axis=-1)
@@ -87,7 +99,7 @@ def fused_field_apply(decoder, variables, points_query, pcl_abstract,
             y = fused_knn_vector_attention(
                 q_proj, q_xyz, feats_abs, pts_abs, att,
                 decoder.cross_attn_neighbors, key_mask=abstract_mask,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype, knn=knn)
             y = _dense(y, blk['layer3'])
             x = x + y
     penult = x

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['fused_knn_vector_attention', 'fused_knn_interp']
+__all__ = ['fused_knn_vector_attention', 'fused_knn_interp', 'knn_extract']
 
 _LANES = 128
 _BIG_I = 2 ** 30
@@ -62,8 +62,8 @@ def _mm2(a, b, dims, cd):
 
 def _attn_kernel(qpos_ref, qproj_ref, kpos_ref, fv_ref, kn_ref, wk_ref, wv_ref,
                  wp1_ref, bp1_ref, wp2_ref, bp2_ref,
-                 wa1_ref, ba1_ref, wa2_ref, ba2_ref, out_ref,
-                 *, k, dim, feat, group, compute_dtype, premul):
+                 wa1_ref, ba1_ref, wa2_ref, ba2_ref, *refs,
+                 k, dim, feat, group, compute_dtype, premul, use_idx=False):
     '''
     Block shapes (leading 1 from the (B, tiles) grid):
       qpos (1, T, 3) f32; qproj (1, T, D); kpos (1, M, 3) f32;
@@ -82,7 +82,16 @@ def _attn_kernel(qpos_ref, qproj_ref, kpos_ref, fv_ref, kn_ref, wk_ref, wv_ref,
     the sublane axis ((G*T, M) @ (M, E+3) etc.) - fewer, larger MXU ops for the
     same FLOPs. Stacking is along axis 0, never across the lane dimension (a
     (T*k, ...) lane reshape is what Mosaic cannot lower).
+
+    use_idx: refs gains a leading ki block (1, T, LANES) i32 of precomputed
+    neighbor indices (knn_extract output; the decoder runs THREE extractions
+    over the same (query, abstract) pair per decode - interp + two attention
+    layers, each K serial argmin passes over (T, M) - so sharing one producer
+    removes ~2/3 of that VPU work). The one-hots, and hence every downstream
+    float, are bit-identical to the in-kernel extraction.
     '''
+    ki_ref = refs[0] if use_idx else None
+    out_ref = refs[-1]
     (_, T, _) = qpos_ref.shape
     (_, M, _) = kpos_ref.shape
     cd = compute_dtype
@@ -91,12 +100,15 @@ def _attn_kernel(qpos_ref, qproj_ref, kpos_ref, fv_ref, kn_ref, wk_ref, wv_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
     inv_sqrt_d = 1.0 / jnp.sqrt(jnp.float32(dim))
 
-    # Exact kNN ranking in f32 (one MXU matmul).
-    prod = jax.lax.dot_general(
-        qpos, kpos_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                       # (T, M).
-    d = kn_ref[0] - 2.0 * prod
+    if use_idx:
+        ki = ki_ref[0]                                             # (T, LANES).
+    else:
+        # Exact kNN ranking in f32 (one MXU matmul).
+        prod = jax.lax.dot_general(
+            qpos, kpos_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                   # (T, M).
+        d = kn_ref[0] - 2.0 * prod
 
     group = max(1, min(group, k))
     if group > 1:
@@ -114,6 +126,9 @@ def _attn_kernel(qpos_ref, qproj_ref, kpos_ref, fv_ref, kn_ref, wk_ref, wv_ref,
         g_sz = min(group, k - j0)
         onehots = []
         for _j in range(g_sz):
+            if use_idx:
+                onehots.append(col == ki[:, j0 + _j:j0 + _j + 1])
+                continue
             m = jnp.min(d, axis=1, keepdims=True)
             idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1,
                           keepdims=True)                           # (T, 1).
@@ -159,40 +174,49 @@ def _attn_kernel(qpos_ref, qproj_ref, kpos_ref, fv_ref, kn_ref, wk_ref, wv_ref,
 
 @functools.partial(jax.jit, static_argnames=('k', 'dim', 'feat', 'tile_n',
                                               'group', 'compute_dtype',
-                                              'interpret', 'premul'))
-def _attn_call(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1,
-               wa2, ba2, k, dim, feat, tile_n, group, compute_dtype, interpret,
-               premul):
+                                              'interpret', 'premul', 'use_idx'))
+def _attn_call(qpos, qproj, kpos, fv, kn, ki, wk, wv, wp1, bp1, wp2, bp2, wa1,
+               ba1, wa2, ba2, k, dim, feat, tile_n, group, compute_dtype,
+               interpret, premul, use_idx):
     (B, N_pad, _) = qpos.shape
     (_, M_pad, _) = kpos.shape
     C = fv.shape[-1]
     kern = functools.partial(_attn_kernel, k=k, dim=dim, feat=feat, group=group,
-                             compute_dtype=compute_dtype, premul=premul)
+                             compute_dtype=compute_dtype, premul=premul,
+                             use_idx=use_idx)
     grid = (B, N_pad // tile_n)
 
     def w_spec(shape):
         return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [
+        pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M_pad, C), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        w_spec(wk.shape), w_spec(wv.shape),
+        w_spec(wp1.shape), w_spec(bp1.shape), w_spec(wp2.shape),
+        w_spec(bp2.shape), w_spec(wa1.shape), w_spec(ba1.shape),
+        w_spec(wa2.shape), w_spec(ba2.shape),
+    ]
+    operands = [qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1,
+                ba1, wa2, ba2]
+    if use_idx:
+        in_specs.append(pl.BlockSpec((1, tile_n, _LANES), lambda b, t: (b, t, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(ki)
+
     out = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_pad, C), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            w_spec(wk.shape), w_spec(wv.shape),
-            w_spec(wp1.shape), w_spec(bp1.shape), w_spec(wp2.shape),
-            w_spec(bp2.shape), w_spec(wa1.shape), w_spec(ba1.shape),
-            w_spec(wa2.shape), w_spec(ba2.shape),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N_pad, dim), jnp.float32),
@@ -200,17 +224,14 @@ def _attn_call(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1,
         # push past the default 16 MB scoped-vmem budget at tile_n=128.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2)
+    )(*operands)
     return out
 
 
 def _attn_bwd_kernel(qpos_ref, qproj_ref, kpos_ref, fv_ref, kn_ref,
                      wk_ref, wv_ref, wp1_ref, bp1_ref, wp2_ref, bp2_ref,
-                     wa1_ref, ba1_ref, wa2_ref, ba2_ref, g_ref,
-                     dqproj_ref, df_ref, dwk_ref, dwv_ref,
-                     dwp1_ref, dbp1_ref, dwp2_ref, dbp2_ref,
-                     dwa1_ref, dba1_ref, dwa2_ref, dba2_ref,
-                     *, k, dim, feat, compute_dtype, premul):
+                     wa1_ref, ba1_ref, wa2_ref, ba2_ref, g_ref, *refs,
+                     k, dim, feat, compute_dtype, premul, use_idx=False):
     '''
     Backward of _attn_kernel (flash-attention-style: recompute forward per query
     tile, then chain gradients without materializing (N, K, D) tensors in HBM).
@@ -228,7 +249,14 @@ def _attn_bwd_kernel(qpos_ref, qproj_ref, kpos_ref, fv_ref, kn_ref,
     and the full-K tensors fit VMEM at the decode shapes (~25 MB bf16 at K=14,
     T=128). Accumulator outputs (df, weight grads) are revisited across grid
     steps ('arbitrary' sequential grid), initialized on the first visit.
+
+    use_idx: refs gains a leading ki block of precomputed neighbor indices
+    (see _attn_kernel) - the forward recompute skips the K serial argmin
+    passes; identical one-hots, identical floats.
     '''
+    ki_ref = refs[0] if use_idx else None
+    (dqproj_ref, df_ref, dwk_ref, dwv_ref, dwp1_ref, dbp1_ref, dwp2_ref,
+     dbp2_ref, dwa1_ref, dba1_ref, dwa2_ref, dba2_ref) = refs[-12:]
     (_, T, _) = qpos_ref.shape
     (_, M, _) = kpos_ref.shape
     cd = compute_dtype
@@ -258,17 +286,21 @@ def _attn_bwd_kernel(qpos_ref, qproj_ref, kpos_ref, fv_ref, kn_ref,
     inv_sqrt_d = 1.0 / jnp.sqrt(jnp.float32(dim))
 
     # ---- Recompute forward (full-K row stacks, k-major along axis 0) ----
-    prod = jax.lax.dot_general(
-        qpos, kpos_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                       # (T, M).
-    d = kn_ref[0] - 2.0 * prod
-    onehots = []
-    for _j in range(k):
-        m = jnp.min(d, axis=1, keepdims=True)
-        idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1, keepdims=True)
-        d = jnp.where(col == idx, jnp.inf, d)
-        onehots.append((col == idx).astype(cd))
+    if use_idx:
+        ki = ki_ref[0]                                             # (T, LANES).
+        onehots = [(col == ki[:, j:j + 1]).astype(cd) for j in range(k)]
+    else:
+        prod = jax.lax.dot_general(
+            qpos, kpos_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                   # (T, M).
+        d = kn_ref[0] - 2.0 * prod
+        onehots = []
+        for _j in range(k):
+            m = jnp.min(d, axis=1, keepdims=True)
+            idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1, keepdims=True)
+            d = jnp.where(col == idx, jnp.inf, d)
+            onehots.append((col == idx).astype(cd))
     G = jnp.concatenate(onehots, axis=0)                           # (K*T, M).
 
     def tile_k(x):  # (T, C) -> (K*T, C).
@@ -360,10 +392,10 @@ def _attn_bwd_kernel(qpos_ref, qproj_ref, kpos_ref, fv_ref, kn_ref,
 
 @functools.partial(jax.jit, static_argnames=('k', 'dim', 'feat', 'tile_n',
                                               'compute_dtype', 'interpret',
-                                              'premul'))
-def _attn_bwd_call(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1,
-                   ba1, wa2, ba2, g, k, dim, feat, tile_n, compute_dtype,
-                   interpret, premul):
+                                              'premul', 'use_idx'))
+def _attn_bwd_call(qpos, qproj, kpos, fv, kn, ki, wk, wv, wp1, bp1, wp2, bp2,
+                   wa1, ba1, wa2, ba2, g, k, dim, feat, tile_n, compute_dtype,
+                   interpret, premul, use_idx):
     (B, N_pad, _) = qpos.shape
     (_, M_pad, _) = kpos.shape
     C = fv.shape[-1]
@@ -371,35 +403,44 @@ def _attn_bwd_call(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1,
     (P,) = (wp1.shape[1],)
     H = wa1.shape[1]
     kern = functools.partial(_attn_bwd_kernel, k=k, dim=dim, feat=feat,
-                             compute_dtype=compute_dtype, premul=premul)
+                             compute_dtype=compute_dtype, premul=premul,
+                             use_idx=use_idx)
     grid = (B, N_pad // tile_n)
 
     def w_spec(shape):
         return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [
+        pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M_pad, C), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        w_spec(wk.shape), w_spec(wv.shape),
+        w_spec(wp1.shape), w_spec(bp1.shape), w_spec(wp2.shape),
+        w_spec(bp2.shape), w_spec(wa1.shape), w_spec(ba1.shape),
+        w_spec(wa2.shape), w_spec(ba2.shape),
+        pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1,
+                ba1, wa2, ba2, g]
+    if use_idx:
+        in_specs.append(pl.BlockSpec((1, tile_n, _LANES), lambda b, t: (b, t, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(ki)
+
     f32 = jnp.float32
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_pad, C), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            w_spec(wk.shape), w_spec(wv.shape),
-            w_spec(wp1.shape), w_spec(bp1.shape), w_spec(wp2.shape),
-            w_spec(bp2.shape), w_spec(wa1.shape), w_spec(ba1.shape),
-            w_spec(wa2.shape), w_spec(ba2.shape),
-            pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, tile_n, dim), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
@@ -425,56 +466,64 @@ def _attn_bwd_call(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1, wa2,
-      ba2, g)
+    )(*operands)
     return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20))
-def _attn_flat(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1,
-               wa2, ba2, k, dim, feat, tile_n, group, opts):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20, 21))
+def _attn_flat(qpos, qproj, kpos, fv, kn, ki, wk, wv, wp1, bp1, wp2, bp2, wa1,
+               ba1, wa2, ba2, k, dim, feat, tile_n, group, opts):
     '''Differentiable fused attention over the padded/flattened operands.
     Forward is the online-softmax kernel; backward is _attn_bwd_kernel. The
     gradient surface (qproj, fv's feature columns, to_k/to_v weights, MLP
-    weights; zero for positions/kn) matches the module path's autodiff
-    semantics. opts = (compute_dtype, interpret, premul); with premul=True,
-    fv carries pre-projected [k_all | v_all | pos2], wk/wv are unused (1, 1)
-    dummies, and the k/v gradients come back through fv's columns (the
-    wrapper's outer matmuls chain them onward via XLA autodiff).'''
-    compute_dtype, interpret, premul = opts
-    return _attn_call(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2,
-                      wa1, ba1, wa2, ba2, k, dim, feat, tile_n, group,
-                      compute_dtype, interpret, premul)
+    weights; zero for positions/kn/ki) matches the module path's autodiff
+    semantics. opts = (compute_dtype, interpret, premul, use_idx); with
+    premul=True, fv carries pre-projected [k_all | v_all | pos2], wk/wv are
+    unused (1, 1) dummies, and the k/v gradients come back through fv's
+    columns (the wrapper's outer matmuls chain them onward via XLA autodiff).
+    With use_idx, ki carries knn_extract indices consumed by both kernels;
+    otherwise it is a dummy.'''
+    compute_dtype, interpret, premul, use_idx = opts
+    return _attn_call(qpos, qproj, kpos, fv, kn, ki, wk, wv, wp1, bp1, wp2,
+                      bp2, wa1, ba1, wa2, ba2, k, dim, feat, tile_n, group,
+                      compute_dtype, interpret, premul, use_idx)
 
 
-def _attn_flat_fwd(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1,
-                   ba1, wa2, ba2, k, dim, feat, tile_n, group, opts):
-    compute_dtype, interpret, premul = opts
-    out = _attn_call(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2,
+def _attn_flat_fwd(qpos, qproj, kpos, fv, kn, ki, wk, wv, wp1, bp1, wp2, bp2,
+                   wa1, ba1, wa2, ba2, k, dim, feat, tile_n, group, opts):
+    compute_dtype, interpret, premul, use_idx = opts
+    out = _attn_call(qpos, qproj, kpos, fv, kn, ki, wk, wv, wp1, bp1, wp2, bp2,
                      wa1, ba1, wa2, ba2, k, dim, feat, tile_n, group,
-                     compute_dtype, interpret, premul)
-    res = (qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1,
+                     compute_dtype, interpret, premul, use_idx)
+    res = (qpos, qproj, kpos, fv, kn, ki, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1,
            wa2, ba2)
     return out, res
 
 
+def _int_ct(x):
+    '''Cotangent for an integer operand (jax requires float0 tangents).'''
+    import numpy as _np
+    return _np.zeros(x.shape, jax.dtypes.float0)
+
+
 def _attn_flat_bwd(k, dim, feat, tile_n, group, opts, res, g):
-    (qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1, wa2,
+    (qpos, qproj, kpos, fv, kn, ki, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1, wa2,
      ba2) = res
-    compute_dtype, interpret, premul = opts
+    compute_dtype, interpret, premul, use_idx = opts
     # Backward tiles full-K rows in VMEM; shrink the tile at large K to fit.
     bwd_tile = tile_n if k <= 16 else max(tile_n // 2, _LANES)
     bwd_tile = min(bwd_tile, qpos.shape[1])
     (dqproj, df, dwk, dwv, dwp1, dbp1, dwp2, dbp2, dwa1, dba1, dwa2, dba2) = \
-        _attn_bwd_call(qpos, qproj, kpos, fv, kn, wk, wv, wp1, bp1, wp2, bp2,
-                       wa1, ba1, wa2, ba2, jnp.asarray(g, jnp.float32), k, dim,
-                       feat, bwd_tile, compute_dtype, interpret, premul)
+        _attn_bwd_call(qpos, qproj, kpos, fv, kn, ki, wk, wv, wp1, bp1, wp2,
+                       bp2, wa1, ba1, wa2, ba2, jnp.asarray(g, jnp.float32), k,
+                       dim, feat, bwd_tile, compute_dtype, interpret, premul,
+                       use_idx)
     # fv's trailing pos2 columns carry no gradient.
     dfv = jnp.concatenate(
         [df, jnp.zeros(fv.shape[:2] + (3,), df.dtype)], axis=-1)
     zeros = lambda x: jnp.zeros(x.shape, x.dtype)
     return (zeros(qpos), dqproj.astype(qproj.dtype), zeros(kpos),
-            dfv.astype(fv.dtype), zeros(kn),
+            dfv.astype(fv.dtype), zeros(kn), _int_ct(ki),
             dwk.astype(wk.dtype), dwv.astype(wv.dtype),
             dwp1.astype(wp1.dtype), dbp1.astype(bp1.dtype),
             dwp2.astype(wp2.dtype), dbp2.astype(bp2.dtype),
@@ -485,8 +534,8 @@ def _attn_flat_bwd(k, dim, feat, tile_n, group, opts, res, g):
 _attn_flat.defvjp(_attn_flat_fwd, _attn_flat_bwd)
 
 
-def _interp_kernel(qpos_ref, kpos_ref, feats_ref, kn_ref, out_ref,
-                   *, k, group, eps, compute_dtype):
+def _interp_kernel(qpos_ref, kpos_ref, feats_ref, kn_ref, *refs,
+                   k, group, eps, compute_dtype, use_idx=False):
     '''
     kNN + inverse-distance feature interpolation in one pass (the decoder's
     conditioning step, implicit.py:328-339 semantics): for each query, find the
@@ -495,7 +544,16 @@ def _interp_kernel(qpos_ref, kpos_ref, feats_ref, kn_ref, out_ref,
     distance falls out of the argmin for free, so weights cost nothing extra.
     Block shapes: qpos (1, T, 3) f32; kpos (1, M, 3) f32; feats (1, M, E);
     kn (1, 1, M) f32 (+inf masked); out (1, T, E) f32.
+
+    use_idx: refs gains leading ki (1, T, LANES) i32 + kd (1, T, LANES) f32
+    blocks of precomputed neighbor indices and squared Euclidean distances
+    (knn_extract output, shared with the attention layers); the extraction is
+    skipped and the weights come from kd - identical floats (kd stores the
+    same m + qn the extraction produces).
     '''
+    ki_ref = refs[0] if use_idx else None
+    kd_ref = refs[1] if use_idx else None
+    out_ref = refs[-1]
     (_, T, _) = qpos_ref.shape
     (_, M, _) = kpos_ref.shape
     E = feats_ref.shape[-1]
@@ -503,12 +561,16 @@ def _interp_kernel(qpos_ref, kpos_ref, feats_ref, kn_ref, out_ref,
     qpos = qpos_ref[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
 
-    prod = jax.lax.dot_general(
-        qpos, kpos_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                       # (T, M).
-    qn = jnp.sum(jnp.square(qpos), axis=-1, keepdims=True)         # (T, 1).
-    d = kn_ref[0] - 2.0 * prod
+    if use_idx:
+        ki = ki_ref[0]                                             # (T, LANES).
+        kd = kd_ref[0]                                             # (T, LANES).
+    else:
+        prod = jax.lax.dot_general(
+            qpos, kpos_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                   # (T, M).
+        qn = jnp.sum(jnp.square(qpos), axis=-1, keepdims=True)     # (T, 1).
+        d = kn_ref[0] - 2.0 * prod
 
     group = max(1, min(group, k))
     acc = jnp.zeros((T, E), jnp.float32)
@@ -517,6 +579,12 @@ def _interp_kernel(qpos_ref, kpos_ref, feats_ref, kn_ref, out_ref,
         g_sz = min(group, k - j0)
         onehots, ws = [], []
         for _j in range(g_sz):
+            if use_idx:
+                j = j0 + _j
+                onehots.append(col == ki[:, j:j + 1])
+                ws.append(1.0 / (jnp.sqrt(jnp.maximum(kd[:, j:j + 1], 0.0))
+                                 + eps))
+                continue
             m = jnp.min(d, axis=1, keepdims=True)                  # (T, 1).
             idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1,
                           keepdims=True)
@@ -534,43 +602,56 @@ def _interp_kernel(qpos_ref, kpos_ref, feats_ref, kn_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('k', 'tile_n', 'group', 'eps',
-                                              'compute_dtype', 'interpret'))
-def _interp_call(qpos, kpos, feats, kn, k, tile_n, group, eps, compute_dtype,
-                 interpret):
+                                              'compute_dtype', 'interpret',
+                                              'use_idx'))
+def _interp_call(qpos, kpos, feats, kn, ki, kd, k, tile_n, group, eps,
+                 compute_dtype, interpret, use_idx):
     (B, N_pad, _) = qpos.shape
     (_, M_pad, _) = kpos.shape
     E = feats.shape[-1]
     kern = functools.partial(_interp_kernel, k=k, group=group, eps=eps,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype, use_idx=use_idx)
+    in_specs = [
+        pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M_pad, E), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qpos, kpos, feats, kn]
+    if use_idx:
+        in_specs += [pl.BlockSpec((1, tile_n, _LANES), lambda b, t: (b, t, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, tile_n, _LANES), lambda b, t: (b, t, 0),
+                                  memory_space=pltpu.VMEM)]
+        operands += [ki, kd]
     out = pl.pallas_call(
         kern,
         grid=(B, N_pad // tile_n),
-        in_specs=[
-            pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_pad, E), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile_n, E), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N_pad, E), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(qpos, kpos, feats, kn)
+    )(*operands)
     return out
 
 
-def _interp_bwd_kernel(qpos_ref, kpos_ref, feats_ref, kn_ref, g_ref, dfeats_ref,
-                       *, k, eps, compute_dtype):
+def _interp_bwd_kernel(qpos_ref, kpos_ref, feats_ref, kn_ref, g_ref, *refs,
+                       k, eps, compute_dtype, use_idx=False):
     '''Backward of _interp_kernel w.r.t. the key features only: the inverse-
     distance weights are functions of (stop-gradient) positions, matching the
     module path (models/implicit.py:218-224, kNN inputs stop-gradient there).
     dfeats_j += sum_n [j in kNN(n)] * (w_nj / den_n) * g_n, scattered through
-    the transposed one-hot matmul. Accumulated across query tiles.'''
+    the transposed one-hot matmul. Accumulated across query tiles.
+    use_idx: leading ki/kd blocks replace the extraction (see _interp_kernel).'''
+    ki_ref = refs[0] if use_idx else None
+    kd_ref = refs[1] if use_idx else None
+    dfeats_ref = refs[-1]
     (_, T, _) = qpos_ref.shape
     (_, M, _) = kpos_ref.shape
     cd = compute_dtype
@@ -582,20 +663,26 @@ def _interp_bwd_kernel(qpos_ref, kpos_ref, feats_ref, kn_ref, g_ref, dfeats_ref,
 
     qpos = qpos_ref[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
-    prod = jax.lax.dot_general(
-        qpos, kpos_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    qn = jnp.sum(jnp.square(qpos), axis=-1, keepdims=True)
-    d = kn_ref[0] - 2.0 * prod
+    if use_idx:
+        ki, kd = ki_ref[0], kd_ref[0]
+        onehots = [(col == ki[:, j:j + 1]).astype(cd) for j in range(k)]
+        ws = [1.0 / (jnp.sqrt(jnp.maximum(kd[:, j:j + 1], 0.0)) + eps)
+              for j in range(k)]
+    else:
+        prod = jax.lax.dot_general(
+            qpos, kpos_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        qn = jnp.sum(jnp.square(qpos), axis=-1, keepdims=True)
+        d = kn_ref[0] - 2.0 * prod
 
-    onehots, ws = [], []
-    for _j in range(k):
-        m = jnp.min(d, axis=1, keepdims=True)
-        idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1, keepdims=True)
-        d = jnp.where(col == idx, jnp.inf, d)
-        onehots.append((col == idx).astype(cd))
-        ws.append(1.0 / (jnp.sqrt(jnp.maximum(m + qn, 0.0)) + eps))    # (T, 1).
+        onehots, ws = [], []
+        for _j in range(k):
+            m = jnp.min(d, axis=1, keepdims=True)
+            idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1, keepdims=True)
+            d = jnp.where(col == idx, jnp.inf, d)
+            onehots.append((col == idx).astype(cd))
+            ws.append(1.0 / (jnp.sqrt(jnp.maximum(m + qn, 0.0)) + eps))  # (T, 1).
     den = ws[0]
     for j in range(1, k):
         den = den + ws[j]
@@ -609,67 +696,178 @@ def _interp_bwd_kernel(qpos_ref, kpos_ref, feats_ref, kn_ref, g_ref, dfeats_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('k', 'tile_n', 'eps',
-                                              'compute_dtype', 'interpret'))
-def _interp_bwd_call(qpos, kpos, feats, kn, g, k, tile_n, eps, compute_dtype,
-                     interpret):
+                                              'compute_dtype', 'interpret',
+                                              'use_idx'))
+def _interp_bwd_call(qpos, kpos, feats, kn, ki, kd, g, k, tile_n, eps,
+                     compute_dtype, interpret, use_idx):
     (B, N_pad, _) = qpos.shape
     (_, M_pad, _) = kpos.shape
     E = feats.shape[-1]
     kern = functools.partial(_interp_bwd_kernel, k=k, eps=eps,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype, use_idx=use_idx)
+    in_specs = [
+        pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M_pad, E), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n, E), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qpos, kpos, feats, kn, g]
+    if use_idx:
+        in_specs += [pl.BlockSpec((1, tile_n, _LANES), lambda b, t: (b, t, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, tile_n, _LANES), lambda b, t: (b, t, 0),
+                                  memory_space=pltpu.VMEM)]
+        operands += [ki, kd]
     out = pl.pallas_call(
         kern,
+        grid=(B, N_pad // tile_n),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, M_pad, E), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M_pad, E), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _interp_flat(qpos, kpos, feats, kn, ki, kd, k, tile_n, group, eps_cd,
+                 interpret):
+    eps, compute_dtype, use_idx = eps_cd
+    return _interp_call(qpos, kpos, feats, kn, ki, kd, k, tile_n, group, eps,
+                        compute_dtype, interpret, use_idx)
+
+
+def _interp_flat_fwd(qpos, kpos, feats, kn, ki, kd, k, tile_n, group, eps_cd,
+                     interpret):
+    eps, compute_dtype, use_idx = eps_cd
+    out = _interp_call(qpos, kpos, feats, kn, ki, kd, k, tile_n, group, eps,
+                       compute_dtype, interpret, use_idx)
+    return out, (qpos, kpos, feats, kn, ki, kd)
+
+
+def _interp_flat_bwd(k, tile_n, group, eps_cd, interpret, res, g):
+    (qpos, kpos, feats, kn, ki, kd) = res
+    eps, compute_dtype, use_idx = eps_cd
+    dfeats = _interp_bwd_call(qpos, kpos, feats, kn, ki, kd,
+                              jnp.asarray(g, jnp.float32), k, tile_n, eps,
+                              compute_dtype, interpret, use_idx)
+    zeros = lambda x: jnp.zeros(x.shape, x.dtype)
+    return (zeros(qpos), zeros(kpos), dfeats.astype(feats.dtype), zeros(kn),
+            _int_ct(ki), zeros(kd))
+
+
+_interp_flat.defvjp(_interp_flat_fwd, _interp_flat_bwd)
+
+
+def _knnidx_kernel(qpos_ref, kpos_ref, kn_ref, ki_ref, kd_ref, *, k):
+    '''Shared-extraction producer: the same serial argmin loop the consumer
+    kernels run, emitting (index, squared Euclidean distance) per neighbor so
+    interp + both attention layers (+ their backward recomputes) can skip
+    their own extractions. Same floats, same tie-breaks. Outputs are (T,
+    LANES) blocks; lanes >= k carry 0 / +inf filler.'''
+    (_, T, _) = qpos_ref.shape
+    (_, M, _) = kpos_ref.shape
+    qpos = qpos_ref[0]                                             # (T, 3) f32.
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, _LANES), 1)
+    prod = jax.lax.dot_general(
+        qpos, kpos_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                       # (T, M).
+    qn = jnp.sum(jnp.square(qpos), axis=-1, keepdims=True)         # (T, 1).
+    d = kn_ref[0] - 2.0 * prod
+
+    ki = jnp.zeros((T, _LANES), jnp.int32)
+    kd = jnp.full((T, _LANES), jnp.inf, jnp.float32)
+    for j in range(k):
+        m = jnp.min(d, axis=1, keepdims=True)                      # (T, 1).
+        idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1, keepdims=True)
+        d = jnp.where(col == idx, jnp.inf, d)
+        ki = jnp.where(lane == j, idx, ki)
+        kd = jnp.where(lane == j, m + qn, kd)
+    ki_ref[0] = ki
+    kd_ref[0] = kd
+
+
+@functools.partial(jax.jit, static_argnames=('k', 'tile_n', 'interpret'))
+def _knnidx_call(qpos, kpos, kn, k, tile_n, interpret):
+    (B, N_pad, _) = qpos.shape
+    (_, M_pad, _) = kpos.shape
+    outs = pl.pallas_call(
+        functools.partial(_knnidx_kernel, k=k),
         grid=(B, N_pad // tile_n),
         in_specs=[
             pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, M_pad, 3), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M_pad, E), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n, E), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, M_pad, E), lambda b, t: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, M_pad, E), jnp.float32),
+        out_specs=(pl.BlockSpec((1, tile_n, _LANES), lambda b, t: (b, t, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, tile_n, _LANES), lambda b, t: (b, t, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B, N_pad, _LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((B, N_pad, _LANES), jnp.float32)),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(qpos, kpos, feats, kn, g)
-    return out
+    )(qpos, kpos, kn)
+    return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _interp_flat(qpos, kpos, feats, kn, k, tile_n, group, eps_cd, interpret):
-    eps, compute_dtype = eps_cd
-    return _interp_call(qpos, kpos, feats, kn, k, tile_n, group, eps,
-                        compute_dtype, interpret)
-
-
-def _interp_flat_fwd(qpos, kpos, feats, kn, k, tile_n, group, eps_cd, interpret):
-    eps, compute_dtype = eps_cd
-    out = _interp_call(qpos, kpos, feats, kn, k, tile_n, group, eps,
-                       compute_dtype, interpret)
-    return out, (qpos, kpos, feats, kn)
-
-
-def _interp_flat_bwd(k, tile_n, group, eps_cd, interpret, res, g):
-    (qpos, kpos, feats, kn) = res
-    eps, compute_dtype = eps_cd
-    dfeats = _interp_bwd_call(qpos, kpos, feats, kn,
-                              jnp.asarray(g, jnp.float32), k, tile_n, eps,
-                              compute_dtype, interpret)
-    zeros = lambda x: jnp.zeros(x.shape, x.dtype)
-    return (zeros(qpos), zeros(kpos), dfeats.astype(feats.dtype), zeros(kn))
-
-
-_interp_flat.defvjp(_interp_flat_fwd, _interp_flat_bwd)
+def knn_extract(q_pos, pos2, k, *, key_mask=None, tile_n=128):
+    '''
+    Shared exact-kNN extraction for the fused decoder kernels. The decoder
+    otherwise runs THREE identical serial extractions over the same
+    (query, abstract) pair per decode - fused_knn_interp plus two
+    fused_knn_vector_attention layers, and their backward kernels recompute a
+    fourth and fifth - each K argmin passes over the (tile, M) distance rows.
+    Run this once and hand the result to the consumers via their knn=
+    argument: the one-hots and weights are bit-identical to the in-kernel
+    extraction (same loop, same tie-breaks, same floats).
+    :param q_pos (B, N, 3); pos2 (B, M, 3); key_mask (B, M) bool or None.
+    :return (ki (B, N_pad, 128) i32, kd (B, N_pad, 128) f32): neighbor
+        indices into pos2 rows and squared Euclidean distances, ascending,
+        PADDED to the kernel tile grid (pass to consumers whose q_pos/pos2/
+        key_mask match; lanes >= k are filler).
+    '''
+    assert k <= 32
+    # The producer has no autodiff rule and none is needed (the consumers
+    # stop-gradient their kNN graphs too): cut tangents at the INPUTS so the
+    # pallas_call stays a primal-only computation under jax.grad.
+    q_pos = jax.lax.stop_gradient(q_pos)
+    pos2 = jax.lax.stop_gradient(pos2)
+    (B, N, _) = q_pos.shape
+    (_, M, _) = pos2.shape
+    tile_n = min(tile_n, max(_LANES, 1 << (N - 1).bit_length()))
+    N_pad = -(-N // tile_n) * tile_n
+    M_pad = -(-M // _LANES) * _LANES
+    q_pos_p = jnp.pad(q_pos.astype(jnp.float32),
+                      ((0, 0), (0, N_pad - N), (0, 0)))
+    kpos_p = jnp.pad(pos2.astype(jnp.float32),
+                     ((0, 0), (0, M_pad - M), (0, 0)))
+    kn = jnp.sum(jnp.square(kpos_p), axis=-1)                      # (B, M_pad).
+    in_play = jnp.arange(M_pad) < M
+    if key_mask is not None:
+        in_play = in_play[None] & jnp.pad(jnp.asarray(key_mask),
+                                          ((0, 0), (0, M_pad - M)))
+    kn = jnp.where(in_play, kn, jnp.inf)[:, None, :]
+    interpret = jax.default_backend() != 'tpu'
+    return _knnidx_call(q_pos_p, kpos_p, kn, int(k), int(tile_n), interpret)
 
 
 def fused_knn_interp(q_pos, pos2, feats, k, *, eps=1e-4, key_mask=None,
-                     tile_n=128, group=4, compute_dtype=jnp.float32):
+                     tile_n=128, group=4, compute_dtype=jnp.float32,
+                     knn=None):
     '''
     Fused kNN + inverse-distance interpolation: out_n = sum_j w_j f_j / sum_j w_j
     with w_j = 1 / (||q_n - p_j|| + eps) over the k nearest keys. Equivalent to
@@ -677,6 +875,8 @@ def fused_knn_interp(q_pos, pos2, feats, k, *, eps=1e-4, key_mask=None,
     single VMEM pass.
     :param q_pos (B, N, 3); pos2 (B, M, 3); feats (B, M, E); key_mask (B, M) or
         None.
+    :param knn: optional knn_extract(q_pos, pos2, k'>=k, key_mask) result -
+        skips the in-kernel extraction (bit-identical output).
     :return (B, N, E) float32.
     '''
     assert k <= 32
@@ -699,15 +899,24 @@ def fused_knn_interp(q_pos, pos2, feats, k, *, eps=1e-4, key_mask=None,
                                           ((0, 0), (0, M_pad - M)))
     kn = jnp.where(in_play, kn, jnp.inf)[:, None, :]
 
+    use_idx = knn is not None
+    if use_idx:
+        ki, kd = knn
+        assert ki.shape == (B, N_pad, _LANES), (ki.shape, (B, N_pad, _LANES))
+    else:
+        ki = jnp.zeros((B, 1, _LANES), jnp.int32)
+        kd = jnp.zeros((B, 1, _LANES), jnp.float32)
+
     interpret = jax.default_backend() != 'tpu'
-    out = _interp_flat(q_pos_p, kpos_p, feats_p, kn, int(k), int(tile_n),
-                       int(group), (float(eps), compute_dtype), interpret)
+    out = _interp_flat(q_pos_p, kpos_p, feats_p, kn, ki, kd, int(k),
+                       int(tile_n), int(group),
+                       (float(eps), compute_dtype, use_idx), interpret)
     return out[:, :N]
 
 
 def fused_knn_vector_attention(q_proj, q_pos, feats2, pos2, params, k,
                                *, key_mask=None, tile_n=128, group=None,
-                               compute_dtype=jnp.float32):
+                               compute_dtype=jnp.float32, knn=None):
     '''
     One fused vector cross-attention block.
     :param q_proj (B, N, D): projected query features (to_q applied).
@@ -725,6 +934,9 @@ def fused_knn_vector_attention(q_proj, q_pos, feats2, pos2, params, k,
         the kernel (None = 4, the measured sweet spot at the decode shapes;
         identical numerics at any value).
     :param compute_dtype: jnp.float32 (parity) or jnp.bfloat16 (fast).
+    :param knn: optional knn_extract(q_pos, pos2, k, key_mask) result - skips
+        the in-kernel extraction in BOTH the forward and the custom-VJP
+        backward (bit-identical output/gradients).
     :return (B, N, D) float32.
     '''
     assert k <= 32
@@ -785,9 +997,16 @@ def fused_knn_vector_attention(q_proj, q_pos, feats2, pos2, params, k,
     wa1, ba1 = wb('attn_mlp_0')
     wa2, ba2 = wb('attn_mlp_2')
 
+    use_idx = knn is not None
+    if use_idx:
+        ki = knn[0]
+        assert ki.shape == (B, N_pad, _LANES), (ki.shape, (B, N_pad, _LANES))
+    else:
+        ki = jnp.zeros((B, 1, _LANES), jnp.int32)
+
     interpret = jax.default_backend() != 'tpu'
-    out = _attn_flat(q_pos_p, q_proj_p, kpos_p, fv, kn, wk, wv, wp1, bp1, wp2,
-                     bp2, wa1, ba1, wa2, ba2, int(k), int(dim), int(feat),
+    out = _attn_flat(q_pos_p, q_proj_p, kpos_p, fv, kn, ki, wk, wv, wp1, bp1,
+                     wp2, bp2, wa1, ba1, wa2, ba2, int(k), int(dim), int(feat),
                      int(tile_n), int(group),
-                     (compute_dtype, interpret, bool(premul)))
+                     (compute_dtype, interpret, bool(premul), use_idx))
     return out[:, :N]

@@ -399,3 +399,71 @@ def test_fused_self_attention_ragged_tile(rng):
     np.testing.assert_allclose(np.asarray(mod_on.apply(v, x, pos)),
                                np.asarray(mod_off.apply(v, x, pos)),
                                atol=2e-6, rtol=2e-6)
+
+
+def test_knn_extract_shared_extraction_bit_identical(rng):
+    '''knn_extract feeds interp + attention (fwd AND custom-VJP bwd) via knn=;
+    the one-hots/weights are the same floats as the in-kernel extraction, so
+    outputs and gradients must be BIT-identical, and the indices must match a
+    numpy ordering oracle.'''
+    import jax
+    import jax.numpy as jnp
+    from occlusions4d_tpu.models.layers import VectorAttention
+    from occlusions4d_tpu.ops.pallas_attention import (
+        fused_knn_interp, fused_knn_vector_attention, knn_extract)
+
+    N, M, D, D2, K, Ki = 300, 90, 64, 48, 10, 6
+    x = jnp.asarray(rng.rand(1, N, D).astype(np.float32))
+    pos = jnp.asarray(rng.rand(1, N, 3).astype(np.float32) * 2 - 1)
+    x2 = jnp.asarray(rng.rand(1, M, D2).astype(np.float32))
+    pos2 = jnp.asarray(rng.rand(1, M, 3).astype(np.float32) * 2 - 1)
+    mask = jnp.asarray(rng.rand(1, M) > 0.3)
+    mod = VectorAttention(dim=D, num_neighbors=K, dim2=D2)
+    variables = mod.init(jax.random.PRNGKey(0), x, pos, x2=x2, pos2=pos2)
+    p = variables['params']
+    q_proj = x @ p['to_q']['kernel']
+
+    knn = knn_extract(pos, pos2, K, key_mask=mask)
+    (ki, kd) = knn
+
+    # Index oracle: ascending true squared distance over unmasked keys.
+    d2 = np.sum((np.asarray(pos)[0][:, None] - np.asarray(pos2)[0][None]) ** 2,
+                axis=-1)
+    d2[:, ~np.asarray(mask)[0]] = np.inf
+    order = np.argsort(d2, axis=1, kind='stable')[:, :K]
+    np.testing.assert_array_equal(np.asarray(ki)[0, :N, :K], order)
+    np.testing.assert_allclose(
+        np.asarray(kd)[0, :N, :K],
+        np.take_along_axis(d2, order, axis=1), rtol=1e-5, atol=1e-6)
+
+    # Forward: bitwise equality with vs without the shared extraction.
+    args = (q_proj, pos, x2, pos2, p, K)
+    out0 = np.asarray(fused_knn_vector_attention(*args, key_mask=mask))
+    out1 = np.asarray(fused_knn_vector_attention(*args, key_mask=mask,
+                                                 knn=knn))
+    np.testing.assert_array_equal(out0, out1)
+
+    feats = jnp.asarray(rng.rand(1, M, 24).astype(np.float32))
+    i0 = np.asarray(fused_knn_interp(pos, pos2, feats, Ki, key_mask=mask))
+    i1 = np.asarray(fused_knn_interp(pos, pos2, feats, Ki, key_mask=mask,
+                                     knn=knn))
+    np.testing.assert_array_equal(i0, i1)
+
+    # Gradients (the bwd kernels skip their extraction too): bitwise.
+    def loss_attn(feats2, use):
+        y = fused_knn_vector_attention(q_proj, pos, feats2, pos2, p, K,
+                                       key_mask=mask, knn=knn if use else None)
+        return jnp.sum(y ** 2)
+
+    g0 = np.asarray(jax.grad(lambda f: loss_attn(f, False))(x2))
+    g1 = np.asarray(jax.grad(lambda f: loss_attn(f, True))(x2))
+    np.testing.assert_array_equal(g0, g1)
+
+    def loss_interp(f, use):
+        y = fused_knn_interp(pos, pos2, f, Ki, key_mask=mask,
+                             knn=knn if use else None)
+        return jnp.sum(y ** 2)
+
+    gi0 = np.asarray(jax.grad(lambda f: loss_interp(f, False))(feats))
+    gi1 = np.asarray(jax.grad(lambda f: loss_interp(f, True))(feats))
+    np.testing.assert_array_equal(gi0, gi1)
