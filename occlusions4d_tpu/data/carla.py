@@ -310,16 +310,17 @@ class CarlaDataset:
             if self.return_images:
                 all_rgb.append(np.stack(view_rgb))
 
-        lidar_video_views = accumulate_pcl_time(all_lidar)
-        # list-V of (T*N, 10): (..., t).
+        # Only the forward sensor's accumulated video is consumed: skip the rest.
+        lidar_video_fwd = accumulate_pcl_time([all_lidar[0]])[0]
+        # (T*N, 10): (..., t).
         lidar_merged_frames = merge_pcl_views(all_lidar, insert_view_idx=True)
         # list-T of (V*N, 10): (x, y, z, cos, inst, sem, view, R, G, B).
 
         if self.pcl_input_frames < self.video_length:
             keep = sum(all_lidar[0][t].shape[0] for t in range(self.pcl_input_frames))
-            pcl_input = lidar_video_views[0][:keep]
+            pcl_input = lidar_video_fwd[:keep]
         else:
-            pcl_input = lidar_video_views[0]
+            pcl_input = lidar_video_fwd
         pcl_input = common.shuffle_rows(pcl_input, rng)
         pcl_input, pcl_input_size = common.subsample_pad(
             pcl_input, self.n_fps_input, mode='farthest_point', rng=rng,

@@ -201,20 +201,38 @@ def get_valo_ids(used_input_sem, used_merged_frames, all_pcl, src_view, num_view
         vehped_sem = used_input_sem
 
     ids = np.unique(used_input_sem[:, sem_inst_col].astype(np.int32))
-    valo_ids = [i for i in sorted(ids.tolist())
-                if i >= 0 and (vehped_sem[:, sem_inst_col] == i).sum() >= valo_min_points]
+    # Count per candidate id in one pass (the per-id == scans were ~0.5 s at
+    # CARLA scale: ids x frames x 360k-row comparisons).
+    cand = ids[ids >= 0].astype(np.int64)
+    vcounts = _counts_for(cand, vehped_sem[:, sem_inst_col])
+    valo_ids = cand[vcounts >= valo_min_points].tolist()
     num_valo = len(valo_ids)
 
     live_occl = np.zeros((pcl_input_frames, max_valo_ids), np.float32)
-    for i, vis_id in enumerate(valo_ids[:max_valo_ids]):
-        max_merged = -1
-        for t in range(video_length):
-            cnt = int((used_merged_frames[t][:, merged_inst_col] == vis_id).sum())
-            max_merged = max(cnt, max_merged)
+    va = np.asarray(valo_ids[:max_valo_ids], np.int64)
+    if va.size:
+        merged_cnt = np.stack(
+            [_counts_for(va, used_merged_frames[t][:, merged_inst_col])
+             for t in range(video_length)])                 # (T, n) int64.
+        max_merged = merged_cnt.max(axis=0)                 # (n,) int64.
         for t in range(pcl_input_frames):
-            cnt = int((all_pcl[src_view][t][:, merged_inst_col] == vis_id).sum())
-            live_occl[t, i] = max(1.0 - cnt * num_views / (max_merged + 1e-6), 0.0)
+            cnt = _counts_for(va, all_pcl[src_view][t][:, merged_inst_col])
+            # f64 math then f32 store: same rounding as the scalar loop.
+            live_occl[t, :va.size] = np.maximum(
+                1.0 - cnt * num_views / (max_merged + 1e-6), 0.0)
 
     valo_pad = -np.ones(max_valo_ids, np.int32)
     valo_pad[:num_valo] = valo_ids[:max_valo_ids]
     return live_occl, valo_pad, num_valo
+
+
+def _counts_for(sorted_ids, values):
+    '''Occurrence count of each of `sorted_ids` (ascending int64) in `values`
+    (float or int array), via one searchsorted + bincount pass.'''
+    if sorted_ids.size == 0:
+        return np.zeros(0, np.int64)
+    v = np.asarray(values).astype(np.int64)
+    pos = np.searchsorted(sorted_ids, v)
+    pos_c = np.minimum(pos, sorted_ids.size - 1)
+    ok = sorted_ids[pos_c] == v
+    return np.bincount(pos_c[ok], minlength=sorted_ids.size)

@@ -375,8 +375,10 @@ class GreaterDataset:
                 all_flat.append(np.stack(view_flat))
                 all_snitch.append(np.stack(view_snitch))
 
-        pcl_video_views = accumulate_pcl_time(all_pcl)
-        # list-V of (T*N, 8): (x, y, z, inst, R, G, B, t).
+        # Only the source view's time-accumulated video is ever consumed
+        # (data_greater.py:461-469): skip building the other views'.
+        pcl_video_src = accumulate_pcl_time([all_pcl[src_view]])[0]
+        # (T*N, 8): (x, y, z, inst, R, G, B, t).
         pcl_merged_frames = merge_pcl_views(all_pcl, insert_view_idx=True)
         # list-T of (V*N, 8): (x, y, z, inst, view, R, G, B).
 
@@ -384,9 +386,9 @@ class GreaterDataset:
         if self.pcl_input_frames < self.video_length:
             keep = sum(all_pcl[src_view][t].shape[0]
                        for t in range(self.pcl_input_frames))
-            pcl_input = pcl_video_views[src_view][:keep]
+            pcl_input = pcl_video_src[:keep]
         else:
-            pcl_input = pcl_video_views[src_view]
+            pcl_input = pcl_video_src
         pcl_input = common.shuffle_rows(pcl_input, rng)
         pcl_input, pcl_input_size = common.subsample_pad(
             pcl_input, self.n_fps_input, mode='farthest_point', rng=rng,

@@ -34,8 +34,11 @@ def _build():
     for src in _SRCS:
         obj = src[:-4] + '.o'
         flags = ['-ffp-contract=off'] if src.endswith('frame_ops.cpp') else []
-        subprocess.run(['g++', '-O3', '-march=native', *flags, '-c', '-fPIC',
-                        '-o', obj, src], check=True, capture_output=True)
+        # -fopenmp-simd: honor `#pragma omp simd` (vectorization hints only,
+        # no OpenMP runtime dependency).
+        subprocess.run(['g++', '-O3', '-march=native', '-fopenmp-simd', *flags,
+                        '-c', '-fPIC', '-o', obj, src],
+                       check=True, capture_output=True)
         objs.append(obj)
     subprocess.run(['g++', '-shared', '-o', _LIB, *objs],
                    check=True, capture_output=True)

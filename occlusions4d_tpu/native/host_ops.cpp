@@ -187,8 +187,14 @@ void o4d_fps(const float* xyz, int64_t n, int64_t n_out, int64_t start_idx,
                 if (lb2 >= cmax[c]) continue;  // no member's min_d can change.
                 touched = true;
                 const int64_t i0 = c * C, i1 = std::min(n, i0 + C);
+                // Pass 1 (SIMD): distance + min-update + max-reduce. The
+                // running (max, argmax) pair of the old single pass carries a
+                // scalar dependence that blocks vectorization; a value-only
+                // max reduction vectorizes, and a short second scan recovers
+                // the FIRST index attaining it - the same tie-break the
+                // scalar `nd > m` update produced.
                 float m = -1.0f;
-                int64_t mi = i0;
+                #pragma omp simd reduction(max: m)
                 for (int64_t i = i0; i < i1; i++) {
                     const float dx = px[i] - cx;
                     const float dy = py[i] - cy;
@@ -196,8 +202,11 @@ void o4d_fps(const float* xyz, int64_t n, int64_t n_out, int64_t start_idx,
                     const float d = dx * dx + dy * dy + dz * dz;
                     const float nd = d < min_d[i] ? d : min_d[i];
                     min_d[i] = nd;
-                    if (nd > m) { m = nd; mi = i; }
+                    m = nd > m ? nd : m;
                 }
+                int64_t mi = i0;
+                for (int64_t i = i0; i < i1; i++)
+                    if (min_d[i] == m) { mi = i; break; }
                 cmax[c] = m;
                 cargmax[c] = (int32_t)mi;
             }
