@@ -232,6 +232,11 @@ def _counts_for(sorted_ids, values):
     if sorted_ids.size == 0:
         return np.zeros(0, np.int64)
     v = np.asarray(values).astype(np.int64)
+    hi = int(sorted_ids[-1])
+    if int(sorted_ids[0]) >= 0 and hi < 65536:
+        # Dense ids: direct histogram (out-of-range rows -> overflow bucket).
+        safe = np.where((v >= 0) & (v <= hi), v, hi + 1)
+        return np.bincount(safe, minlength=hi + 2)[sorted_ids]
     pos = np.searchsorted(sorted_ids, v)
     pos_c = np.minimum(pos, sorted_ids.size - 1)
     ok = sorted_ids[pos_c] == v
