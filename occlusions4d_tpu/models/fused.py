@@ -24,6 +24,7 @@ def supports_fused(decoder):
     '''The fused path covers the shipped decoder configuration.'''
     return (decoder.local_mode == 'attention' and decoder.num_local_features > 0
             and decoder.cross_attn_neighbors <= 32
+            and decoder.num_local_features <= 32
             and all(c == 'c' for c in
                     decoder.cr_attn_type[:decoder.cross_attn_layers]))
 
@@ -64,11 +65,12 @@ def fused_field_apply(decoder, variables, points_query, pcl_abstract,
     # cross-attention layers (forward + custom-VJP backward): without it each
     # kernel re-runs the identical K-step serial argmin over the same
     # (query, abstract) distance rows - the decoder's main non-MXU cost.
-    # Valid because interp's k (num_local_features) prefixes the attention k.
-    knn = None
-    if decoder.num_local_features <= decoder.cross_attn_neighbors:
-        knn = knn_extract(q_xyz, pts_abs, decoder.cross_attn_neighbors,
-                          key_mask=abstract_mask)
+    # Extracted at max(k_attn, k_interp): each consumer reads its own-k PREFIX
+    # of the greedy ascending sequence, which is exactly what its in-kernel
+    # extraction would produce.
+    k_ext = max(decoder.cross_attn_neighbors if decoder.use_pt_inds else 0,
+                decoder.num_local_features)
+    knn = knn_extract(q_xyz, pts_abs, k_ext, key_mask=abstract_mask)
 
     # Local feature interpolation (implicit.py:328-339 semantics), one fused
     # kNN + inverse-distance-weighting pass.

@@ -41,6 +41,11 @@ from .utils.logvis import StepLogger
 
 __all__ = ['build_optimizer', 'make_train_step', 'Trainer', 'main']
 
+# Host-sync cadence for scalar logging AND the want_norms flag passed into the
+# train step: the two must agree, or the logging steps would read the
+# lax.cond zero-branch norms (silently all-zero telemetry).
+LOG_EVERY = 32
+
 
 def _trainable_mask(params):
     '''False at batch-norm running statistics (not optimizer targets).'''
@@ -351,6 +356,22 @@ class Trainer:
         data_iter = iter(data_iter)
         cur_step = -1
         prev_guard = None  # (grads_finite, params_finite) of the last train step.
+
+        def check_guard():
+            '''Materialize and act on the pending step's guard flags.'''
+            nonlocal prev_guard
+            if prev_guard is None:
+                return
+            with timer.phase('guard'):
+                g_fin, p_fin = (bool(np.asarray(prev_guard[0])),
+                                bool(np.asarray(prev_guard[1])))
+                if prev_guard[2] is not None:
+                    prev_guard[2].throw()  # checkify: localized NaN/Inf op.
+            prev_guard = None
+            if not g_fin:
+                self.logger.error('NaN/Inf gradient detected! Step skipped.')
+            if not p_fin:
+                raise RuntimeError('NaN model parameter detected!')
         while True:
             cur_step += 1
             if num_steps is not None and cur_step >= num_steps:
@@ -376,12 +397,15 @@ class Trainer:
                 if num_exceptions >= 12:
                     raise
                 self.logger.exception(e)
+                # A pending poison pill must not be masked by a data-failure
+                # streak ending in the 12-exception re-raise.
+                check_guard()
                 continue
 
             with timer.phase('step'):
                 if is_train:
                     self.state, metrics = self._train_step(
-                        self.state, batch, k, cur_step % 32 == 0)
+                        self.state, batch, k, cur_step % LOG_EVERY == 0)
                     new_guard = (metrics['grads_finite'],
                                  metrics['params_finite'],
                                  metrics.pop('numerics_err', None))
@@ -393,20 +417,11 @@ class Trainer:
             # step) checked AFTER this step is queued: the D2H fetch waits on
             # step N-1 (already retiring) while the device executes step N, so
             # the device never idles on the guard. The poison-pill raise still
-            # precedes step N+1's dispatch, and the one step dispatched on
-            # poisoned params only performs a guard-skipped (no-op) update.
+            # precedes step N+1's dispatch; the one step dispatched on
+            # poisoned params is normally a guard-skipped no-op (NaN params
+            # give NaN grads wherever the poisoned leaf touches the loss).
             if is_train:
-                if prev_guard is not None:
-                    with timer.phase('guard'):
-                        g_fin, p_fin = (bool(np.asarray(prev_guard[0])),
-                                        bool(np.asarray(prev_guard[1])))
-                        if prev_guard[2] is not None:
-                            prev_guard[2].throw()  # checkify: localized NaN/Inf.
-                    if not g_fin:
-                        self.logger.error('NaN/Inf gradient detected! '
-                                          'Step skipped.')
-                    if not p_fin:
-                        raise RuntimeError('NaN model parameter detected!')
+                check_guard()
                 prev_guard = new_guard
 
             if (is_train and self.logger.log_dir is not None
@@ -415,8 +430,8 @@ class Trainer:
                     self._export_intermediates(epoch, stage, cur_step, batch,
                                                host_images, meta_list, k)
 
-            if cur_step % 32 == 0:  # host sync for scalar logging cadence only
-                #                     (NaN guards run per step, above).
+            if cur_step % LOG_EVERY == 0:  # host sync for scalar logging only
+                #                            (NaN guards run per step, above).
                 with timer.phase('sync'):
                     m = {k2: np.asarray(v) for k2, v in metrics.items()}
                 loss_terms = {k2: float(v) for k2, v in m.items()
@@ -438,13 +453,7 @@ class Trainer:
                                 remember=True, commit_histogram=True)
                 metrics_hist.append(m)
 
-        if prev_guard is not None:  # trailing-edge guard for the final step.
-            if prev_guard[2] is not None:
-                prev_guard[2].throw()
-            if not bool(np.asarray(prev_guard[0])):
-                self.logger.error('NaN/Inf gradient detected! Step skipped.')
-            if not bool(np.asarray(prev_guard[1])):
-                raise RuntimeError('NaN model parameter detected!')
+        check_guard()  # trailing-edge guard for the final step.
         self.logger.info(f'[{stage}] epoch {epoch} finished in '
                          f'{time.time() - start:.1f}s')
         timer.report(self.logger, prefix=f'[{stage}] ')

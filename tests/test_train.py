@@ -332,7 +332,8 @@ def test_per_step_nan_param_guard(trained):
     poisoned while step 2's batch is being fetched; step 2's guard is read
     right after step 3 is queued (so the device never idles on the fetch), and
     the raise lands before step 4. Step 3 - the only update dispatched on
-    poisoned params - is a guard-skipped no-op (NaN params give NaN grads).'''
+    poisoned params - is a guard-skipped no-op here (NaN params give NaN grads
+    whenever the poisoned leaf touches the loss, as in this full forward).'''
     from occlusions4d_tpu.utils.logvis import StepLogger
     cfg, trainer, batches = trained
     # Snapshot (not alias): the train step donates its input state buffers.
@@ -369,6 +370,34 @@ def test_per_step_nan_param_guard(trained):
     assert all(bool(np.all(np.isfinite(np.asarray(p))))
                for p in jax.tree_util.tree_leaves(trainer.state['params'])[1:])
     trainer.state = state0  # restore for sibling tests (module-scoped fixture).
+
+
+def test_nan_param_guard_not_masked_by_data_failures(trained):
+    '''A pending poison pill fires even when every later batch fails host-side
+    prep: the exception-tolerance path drains the guard before continuing, so
+    a data-failure streak cannot mask (or out-raise) the NaN-parameter stop.'''
+    from occlusions4d_tpu.utils.logvis import StepLogger
+    cfg, trainer, batches = trained
+    state0 = jax.tree_util.tree_map(jnp.copy, trainer.state)
+    orig_logger = trainer.logger
+    trainer.logger = StepLogger(context='nan_mask', batch_size=cfg.batch_size)
+
+    def gen():
+        yield batches[0]                     # step 0: healthy.
+        params = trainer.state['params']
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        leaves[0] = leaves[0] * jnp.nan
+        trainer.state['params'] = jax.tree_util.tree_unflatten(treedef, leaves)
+        yield batches[1 % len(batches)]      # step 1: poisoned -> bad guard.
+        for _ in range(14):                  # then nothing but data failures.
+            yield 42                         # fails in host-side batch prep.
+
+    try:
+        with pytest.raises(RuntimeError, match='NaN model parameter'):
+            trainer.run_epoch(0, 'train', gen(), num_steps=20)
+    finally:
+        trainer.logger = orig_logger
+        trainer.state = state0
 
 
 def test_per_step_nan_grad_skip_and_log(trained):
