@@ -436,12 +436,15 @@ def test_knn_extract_shared_extraction_bit_identical(rng):
         np.asarray(kd)[0, :N, :K],
         np.take_along_axis(d2, order, axis=1), rtol=1e-5, atol=1e-6)
 
-    # Forward: bitwise equality with vs without the shared extraction.
+    # Forward: bitwise equality with vs without the shared extraction, in the
+    # f32 parity mode AND the bf16 fast mode (extraction is f32 either way).
     args = (q_proj, pos, x2, pos2, p, K)
-    out0 = np.asarray(fused_knn_vector_attention(*args, key_mask=mask))
-    out1 = np.asarray(fused_knn_vector_attention(*args, key_mask=mask,
-                                                 knn=knn))
-    np.testing.assert_array_equal(out0, out1)
+    for cd in (jnp.float32, jnp.bfloat16):
+        out0 = np.asarray(fused_knn_vector_attention(*args, key_mask=mask,
+                                                     compute_dtype=cd))
+        out1 = np.asarray(fused_knn_vector_attention(*args, key_mask=mask,
+                                                     compute_dtype=cd, knn=knn))
+        np.testing.assert_array_equal(out0, out1)
 
     feats = jnp.asarray(rng.rand(1, M, 24).astype(np.float32))
     i0 = np.asarray(fused_knn_interp(pos, pos2, feats, Ki, key_mask=mask))
