@@ -181,29 +181,83 @@ def make_carla_scene(scene_dp, num_frames=60, points_per_frame=3000, seed=0,
     K = np.array([[30.0, 0, 20], [0, 30.0, 15], [0, 0, 1]], np.float32)
     np.save(os.path.join(content_dp, 'camera_K.npy'), K)
 
+    # Persistent structured world (so density, color, AND semantics are
+    # learnable functions of position - a per-frame random cloud would make
+    # everything but occupancy pure noise): a road plane, two walls, a few
+    # static box landmarks, plus a vehicle and a pedestrian moving with the
+    # ego. sem/inst/color are constant per structure; per-frame clouds sample
+    # the surfaces near the ego with small jitter.
+    x_hi = 16.0 + 0.5 * T
+
+    def _box(rng, n, center, size, sem, inst, color):
+        p = (rng.rand(n, 3).astype(np.float32) - 0.5) * np.asarray(size, np.float32)
+        p += np.asarray(center, np.float32)
+        return p, sem, inst, np.asarray(color, np.float32)
+
+    def _sample_world(rng, n, ego_x):
+        '''(n, 9) rows (x, y, z, cos, inst, sem, R, G, B) in world coords.'''
+        counts = [int(n * f) for f in (0.40, 0.10, 0.10, 0.20, 0.12, 0.08)]
+        counts[0] += n - sum(counts)
+        parts = []
+        # Road: z ~ 0, color a smooth function of position (learnable).
+        g = rng.rand(counts[0], 3).astype(np.float32)
+        gx = g[:, 0] * 19.0 - 3.0 + ego_x
+        gy = g[:, 1] * 12.0 - 6.0
+        gz = g[:, 2] * 0.05
+        gc = np.stack([0.4 + 0.2 * np.sin(gx * 0.7), np.full_like(gx, 0.4),
+                       0.4 + 0.2 * np.cos(gy * 0.7)], axis=1)
+        parts.append((np.stack([gx, gy, gz], 1), 1, 0, gc))
+        for side, (cnt, inst) in zip((-6.0, 6.0), [(counts[1], 1),
+                                                   (counts[2], 2)]):
+            w = rng.rand(cnt, 3).astype(np.float32)
+            wx = w[:, 0] * 19.0 - 3.0 + ego_x
+            wz = w[:, 2] * 1.3
+            wy = np.full_like(wx, side) + w[:, 1] * 0.1
+            col = np.tile(np.asarray([0.8, 0.3, 0.3] if side < 0
+                                     else [0.3, 0.3, 0.8], np.float32),
+                          (cnt, 1))
+            parts.append((np.stack([wx, wy, wz], 1), 2, inst, col))
+        # Static landmark boxes along the road (positions fixed per scene).
+        per = max(counts[3] // len(landmarks), 1)
+        for j, (bc, bcol) in enumerate(landmarks):
+            p, sem, inst, col = _box(rng, per, bc, (1.2, 1.2, 1.1),
+                                     3 + (j % 3), 3 + j, bcol)
+            parts.append((p, sem, inst, np.tile(col, (per, 1))))
+        # Movers: vehicle (tag 10) ahead of ego, pedestrian (tag 4) beside.
+        p, _, _, _ = _box(rng, counts[4], (ego_x + 6.0, 2.0, 0.6),
+                          (2.4, 1.2, 1.0), 10, 20, None)
+        parts.append((p, 10, 20, np.tile(np.asarray([0.9, 0.1, 0.1],
+                                                    np.float32),
+                                         (counts[4], 1))))
+        p, _, _, _ = _box(rng, counts[5], (ego_x + 3.0, -2.5, 0.5),
+                          (0.5, 0.5, 1.0), 4, 21, None)
+        parts.append((p, 4, 21, np.tile(np.asarray([0.1, 0.8, 0.2],
+                                                   np.float32),
+                                        (counts[5], 1))))
+        rows = []
+        for p, sem, inst, col in parts:
+            r = np.zeros((p.shape[0], 9), np.float32)
+            r[:, :3] = p
+            r[:, 3] = rng.rand(p.shape[0])               # cosine angle.
+            r[:, 4] = inst
+            r[:, 5] = sem
+            r[:, 6:9] = np.clip(col, 0.0, 1.0)
+            rows.append(r)
+        return np.concatenate(rows, axis=0)
+
+    landmarks = [((rng.rand() * (x_hi - 2.0), rng.rand() * 8.0 - 4.0, 0.55),
+                  rng.rand(3).astype(np.float32) * 0.6 + 0.2)
+                 for _ in range(4)]
+
     views = ['forward', 'magic_left', 'magic_right', 'magic_top']
     view_sensors = [0, 3, 4, 5]
     for f in range(T):
+        ego_x = f * 0.5
         for v, view in enumerate(views):
-            # Static world structure + moving vehicles, expressed in sensor frame.
-            n = points_per_frame
-            world = np.zeros((n, 9), np.float32)
-            # Ground + walls box in world coords ahead of ego.
-            wx = rng.rand(n) * 16.0 - 3.0 + f * 0.5
-            wy = rng.rand(n) * 12.0 - 6.0
-            wz = rng.rand(n) * 1.3
-            sem = rng.randint(0, 13, n)
-            inst = rng.randint(0, 12, n)
-            # Mark a slab of points as vehicles (tag 10) / pedestrians (4).
-            veh = rng.rand(n) < 0.15
-            sem[veh] = np.where(rng.rand(veh.sum()) < 0.5, 10, 4)
-            world[:, 0], world[:, 1], world[:, 2] = wx, wy, wz
-            world[:, 3] = rng.rand(n)                     # cosine angle.
-            world[:, 4] = inst
-            world[:, 5] = sem
-            world[:, 6:9] = rng.rand(n, 3)
+            world = _sample_world(rng, points_per_frame, ego_x)
             # Transform world -> sensor frame (x' = inv(RT) @ x).
             RT = sensor_RT[f, view_sensors[v]]
+            n = world.shape[0]
             pts = np.concatenate([world[:, :3].T, np.ones((1, n), np.float32)])
             local = np.linalg.inv(RT) @ pts
             world[:, :3] = local[:3].T

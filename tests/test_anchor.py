@@ -1,71 +1,96 @@
 '''
-Trained-anchor regression tests: the committed mini-checkpoint
-(tests/assets/anchor/, built by tools/make_trained_anchor.py) must reload,
-reconstruct its synthetic scene, and reproduce its committed metrics.
+Trained-anchor regression tests: the committed mini-checkpoints
+(tests/assets/anchor/ GREATER + tests/assets/anchor_carla/ CARLA, built by
+tools/make_trained_anchor.py) must reload, reconstruct their synthetic scene,
+and reproduce their committed metrics.
 
 This is the executable stand-in for the reference's released pretrained/*.pth
-parity oracles (stripped, /root/reference/.MISSING_LARGE_BLOBS:1-2): a model
-this framework trained end-to-end, with its reconstruction quality pinned so
+parity oracles (stripped, /root/reference/.MISSING_LARGE_BLOBS:1-2): models
+this framework trained end-to-end, with their reconstruction quality pinned so
 any silent math regression in the encoder/decoder/eval stack trips the diff.
 '''
 
-import glob
 import json
 import os
 
 import numpy as np
 import pytest
 
-ASSETS = os.path.join(os.path.dirname(__file__), 'assets', 'anchor')
+_ASSET_ROOT = os.path.join(os.path.dirname(__file__), 'assets')
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isfile(os.path.join(ASSETS, 'checkpoint.pkl')),
-    reason='anchor assets not built (tools/make_trained_anchor.py)')
+# Per-dataset learned-quality floors. Context: the degenerate all-solid
+# baseline scores F1 ~0.06 (GREATER grid, 3% queries occupied) / 0.019
+# (CARLA road cuboid, measured with the 1-NN baseline sweep); the committed
+# anchors measure F1 0.546 (GREATER) and 0.776 / segm acc 0.946 (CARLA, whose
+# structured synthetic scene makes color+semantics learnable functions of
+# position).
+_FLOORS = dict(
+    greater=dict(occupancy_f1=0.45, occupancy_precision=0.45,
+                 occupancy_recall=0.45, chamfer_max=0.5),
+    carla=dict(occupancy_f1=0.60, occupancy_precision=0.50,
+               occupancy_recall=0.70, chamfer_max=1.0,
+               segmentation_acc=0.70),
+)
 
 
-@pytest.fixture(scope='module')
-def anchor_eval(tmp_path_factory):
+def _assets(name):
+    return os.path.join(_ASSET_ROOT, name)
+
+
+@pytest.fixture(scope='module', params=['greater', 'carla'])
+def anchor_eval(request, tmp_path_factory):
     '''Regenerate the anchor's synthetic scene (seed-deterministic) and re-run
     the production eval driver on the committed checkpoint.'''
     from occlusions4d_tpu.config import test_args as parse_test_args
     from occlusions4d_tpu.data import synthetic
     from occlusions4d_tpu.evaluate import test_driver
 
-    with open(os.path.join(ASSETS, 'gen.json')) as f:
+    dataset = request.param
+    assets = _assets('anchor' if dataset == 'greater' else 'anchor_carla')
+    if not os.path.isfile(os.path.join(assets, 'checkpoint.pkl')):
+        pytest.skip(f'{dataset} anchor assets not built '
+                    '(tools/make_trained_anchor.py)')
+
+    with open(os.path.join(assets, 'gen.json')) as f:
         gen = json.load(f)
     eval_argv = gen.pop('eval_argv')
+    gen.pop('dataset', None)
     # The committed metrics were computed on the scene the anchor OVERFIT
     # (the train stage); stage seeds differ (data/synthetic.py:158).
     eval_stage = gen.pop('eval_stage')
 
-    root = tmp_path_factory.mktemp('anchor')
-    data = str(root / 'data')
-    synthetic.make_greater_dataset(data, **dict(gen, stages=tuple(gen['stages'])))
+    root = tmp_path_factory.mktemp(f'anchor_{dataset}')
+    # Dataset kind is inferred from the path: keep 'carla' in the CARLA dir.
+    data = str(root / ('data_carla' if dataset == 'carla' else 'data'))
+    gen_fn = (synthetic.make_carla_dataset if dataset == 'carla'
+              else synthetic.make_greater_dataset)
+    gen_fn(data, **dict(gen, stages=tuple(gen['stages'])))
 
     # --log_path X: config derives log_path=parent(X), test_tag=basename(X).
     targs = parse_test_args(eval_argv + [
-        '--data_path', os.path.join(data, eval_stage), '--resume', ASSETS,
+        '--data_path', os.path.join(data, eval_stage), '--resume', assets,
         '--log_path', str(root / 'logs' / 'anchor'),
     ])
     summary = test_driver.main(targs)
-    with open(os.path.join(ASSETS, 'metrics.json')) as f:
+    with open(os.path.join(assets, 'metrics.json')) as f:
         committed = json.load(f)
-    return summary, committed, str(root)
+    return dataset, summary, committed
 
 
 def test_anchor_model_learned(anchor_eval):
-    '''The committed checkpoint genuinely reconstructs the scene it overfit.
-    Context for the thresholds: the degenerate all-solid baseline scores
-    F1 ~0.06 on this grid (3% of queries occupied), and the structural ceiling
-    from the 512-point target-cloud sparsity at the 0.2 occupancy radius is
-    ~0.8 (an oracle predicting from an independent half-sample of the same
-    surfaces); the committed model measures F1 0.546.'''
-    summary, committed, _ = anchor_eval
+    '''The committed checkpoint genuinely reconstructs the scene it overfit
+    (floors documented at _FLOORS; GREATER commits F1 0.546 vs the 0.06
+    all-solid baseline and ~0.8 structural ceiling).'''
+    dataset, summary, _ = anchor_eval
+    floors = _FLOORS[dataset]
     mean = summary['mean']
-    assert mean['occupancy_f1'] > 0.45, mean
-    assert mean['occupancy_precision'] > 0.45, mean
-    assert mean['occupancy_recall'] > 0.45, mean
-    assert np.isfinite(mean['chamfer']) and mean['chamfer'] < 0.5, mean
+    assert mean['occupancy_f1'] > floors['occupancy_f1'], mean
+    assert mean['occupancy_precision'] > floors['occupancy_precision'], mean
+    assert mean['occupancy_recall'] > floors['occupancy_recall'], mean
+    assert np.isfinite(mean['chamfer']), mean
+    assert mean['chamfer'] < floors['chamfer_max'], mean
+    if 'segmentation_acc' in floors:
+        assert mean['segmentation_acc'] > floors['segmentation_acc'], mean
 
 
 def test_anchor_metrics_reproduce(anchor_eval):
@@ -73,7 +98,7 @@ def test_anchor_metrics_reproduce(anchor_eval):
     the committed metrics.json — a tripwire for silent numeric drift anywhere
     in encoder/decoder/sampling/eval. Tolerance covers backend/XLA-version
     dot-product variation flipping a handful of near-threshold queries.'''
-    summary, committed, _ = anchor_eval
+    _, summary, committed = anchor_eval
     for key, ref in committed['mean'].items():
         got = summary['mean'][key]
         assert abs(got - ref) <= max(0.02, 0.03 * abs(ref)), (key, got, ref)

@@ -27,7 +27,6 @@ import shutil
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ASSETS = os.path.join(REPO, 'tests', 'assets', 'anchor')
 
 # Synthetic-scene generation parameters; tests/test_anchor.py must regenerate
 # with EXACTLY these (stored in gen.json for the test to consume).
@@ -67,15 +66,54 @@ EVAL_ARGV = [
     '--num_workers', '1', '--seed', '7',
 ]
 
+# CARLA counterpart: the cv1 flavor at mini scale (layer norm,
+# abstract_levels 2, 13 semantic classes, segmentation objective, cube_mode-4
+# road cuboids, ego-motion-corrected LiDAR) so the SECOND data family's whole
+# path - loader, channel layouts, segm loss, eval backfill - has a committed
+# learns-and-reconstructs proof too. The dataset dir must contain 'carla'
+# (dataset-kind-by-path, data/loader.py semantics).
+GEN_CARLA = dict(num_scenes=1, num_frames=48, points_per_frame=4000,
+                 stages=('train', 'val', 'test'))
+ARCH_CARLA_ARGV = [
+    '--n_points', '256', '--n_data_rnd', '512', '--video_len', '4',
+    '--frame_skip', '3', '--past_frames', '2', '--future_frames', '0',
+    '--min_z', '-0.5', '--pt_cube_bounds', '20.0', '--cr_cube_bounds', '16.0',
+    '--cube_mode', '4', '--pt_feat_dim', '8', '--up_down_blocks', '2',
+    '--transition_factor', '4', '--pt_num_neighbors', '4',
+    '--down_neighbors', '4', '--global_size', '16', '--num_cr_local_feats', '4',
+    '--implicit_mlp_blocks', '3', '--cross_attn_layers', '1',
+    '--cross_attn_neighbors', '4', '--num_cr_solid', '256',
+    '--air_sampling_ratio', '1.5', '--color_mode', 'rgb_nosigmoid',
+    '--color_lw', '1.0', '--tracking_lw', '0.0', '--segmentation_lw', '1.0',
+    '--semantic_classes', '13', '--abstract_levels', '2',
+    '--pt_norm_type', 'layer', '--seed', '7',
+]
+EVAL_CARLA_ARGV = [
+    '--num_sample', '262144', '--point_sample_mode', 'grid',
+    '--density_threshold', '0.5', '--save_metrics', 'true',
+    '--use_json', 'false', '--use_data_frac', '0.2',
+    '--num_workers', '1', '--seed', '7',
+]
+
+DATASETS = dict(
+    greater=dict(assets='anchor', data_dn='data', gen=GEN,
+                 arch=ARCH_ARGV, eval_argv=EVAL_ARGV),
+    carla=dict(assets='anchor_carla', data_dn='data_carla', gen=GEN_CARLA,
+               arch=ARCH_CARLA_ARGV, eval_argv=EVAL_CARLA_ARGV),
+)
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument('--dataset', choices=sorted(DATASETS), default='greater')
     p.add_argument('--epochs', type=int, default=24)
     p.add_argument('--data_frac', type=float, default=0.5)
     p.add_argument('--workdir', default='')
     p.add_argument('--skip_train', action='store_true',
                    help='reuse the checkpoint already in --workdir; eval only')
     args = p.parse_args(argv)
+    spec = DATASETS[args.dataset]
+    assets = os.path.join(REPO, 'tests', 'assets', spec['assets'])
 
     from occlusions4d_tpu.config import train_args as parse_train_args
     from occlusions4d_tpu.config import test_args as parse_test_args
@@ -84,13 +122,15 @@ def main(argv=None):
     from occlusions4d_tpu.evaluate import test_driver
 
     work = args.workdir or tempfile.mkdtemp(prefix='anchor_')
-    data = os.path.join(work, 'data')
+    data = os.path.join(work, spec['data_dn'])
     ckpt = os.path.join(work, 'checkpoints')
     logs = os.path.join(work, 'logs')
     if not os.path.isdir(os.path.join(data, 'train')):
-        synthetic.make_greater_dataset(data, **GEN)
+        gen_fn = (synthetic.make_carla_dataset if args.dataset == 'carla'
+                  else synthetic.make_greater_dataset)
+        gen_fn(data, **spec['gen'])
 
-    train_argv = ARCH_ARGV + [
+    train_argv = spec['arch'] + [
         '--data_path', data, '--name', 'anchor',
         '--checkpoint_root', ckpt, '--log_root', logs,
         '--num_epochs', str(args.epochs), '--batch_size', '2',
@@ -108,7 +148,7 @@ def main(argv=None):
         trainer = train_mod.main(cfg)
         del trainer
 
-    test_argv = EVAL_ARGV + [
+    test_argv = spec['eval_argv'] + [
         '--data_path', os.path.join(data, EVAL_STAGE),
         '--resume', 'anchor', '--checkpoint_root', ckpt,
     ]
@@ -122,15 +162,16 @@ def main(argv=None):
                          'metrics.json')
     assert os.path.isfile(mfile), mfile
 
-    os.makedirs(ASSETS, exist_ok=True)
+    os.makedirs(assets, exist_ok=True)
     shutil.copy(os.path.join(cfg.output_path, 'checkpoint.pkl'),
-                os.path.join(ASSETS, 'checkpoint.pkl'))
-    shutil.copy(mfile, os.path.join(ASSETS, 'metrics.json'))
-    with open(os.path.join(ASSETS, 'gen.json'), 'w') as f:
-        json.dump(dict(GEN, stages=list(GEN['stages']),
-                       eval_stage=EVAL_STAGE, eval_argv=EVAL_ARGV), f, indent=1)
-    size = os.path.getsize(os.path.join(ASSETS, 'checkpoint.pkl'))
-    print(f'[anchor] wrote {ASSETS} (checkpoint {size / 1024:.0f} KiB)',
+                os.path.join(assets, 'checkpoint.pkl'))
+    shutil.copy(mfile, os.path.join(assets, 'metrics.json'))
+    with open(os.path.join(assets, 'gen.json'), 'w') as f:
+        json.dump(dict(spec['gen'], stages=list(spec['gen']['stages']),
+                       dataset=args.dataset, eval_stage=EVAL_STAGE,
+                       eval_argv=spec['eval_argv']), f, indent=1)
+    size = os.path.getsize(os.path.join(assets, 'checkpoint.pkl'))
+    print(f'[anchor] wrote {assets} (checkpoint {size / 1024:.0f} KiB)',
           flush=True)
 
 
