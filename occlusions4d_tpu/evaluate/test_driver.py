@@ -118,10 +118,14 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
 
     if args.save_metrics and all_metrics:
         import json
-        keys = [k for k in all_metrics[0] if k not in ('step', 'time_idx')]
+        # Union of keys across frames: a frame can lack a metric entirely
+        # (e.g. color_mae when it predicted no color-valid solids), not just
+        # carry NaN for it.
+        keys = sorted({k for m in all_metrics for k in m
+                       if k not in ('step', 'time_idx')})
         agg = {}
         for k in keys:
-            vals = [m[k] for m in all_metrics if np.isfinite(m[k])]
+            vals = [m[k] for m in all_metrics if k in m and np.isfinite(m[k])]
             if vals:
                 agg[k] = float(np.mean(vals))
         summary = dict(mean=agg, per_frame=[

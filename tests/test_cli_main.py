@@ -134,3 +134,57 @@ def test_evaluate_main_cli(trained_cli, cli_env):
     with open(out_json) as f:
         rescored = json.load(f)
     assert rescored
+
+
+def test_cli_main_carla_end_to_end(tmp_path_factory):
+    '''The same argv -> train.main -> evaluate.main chain for the CARLA
+    family (kind-by-path, cv1-flavor flags: segmentation head, layer norm,
+    abstract_levels 2, cube_mode-4 cuboids): the GREATER tests above cover the
+    shared glue; this pins the CARLA-specific plumbing (channel layouts, segm
+    backfill, ego-motion loaders) through the production mains.'''
+    from occlusions4d_tpu import train as train_mod
+    from occlusions4d_tpu.evaluate import test_driver
+    root = tmp_path_factory.mktemp('cli_carla')
+    data = str(root / 'data_carla')
+    synthetic.make_carla_dataset(data, num_scenes=1, num_frames=24,
+                                 points_per_frame=1200,
+                                 stages=('train', 'val', 'test'))
+    argv = [
+        '--n_points', '256', '--n_data_rnd', '512', '--video_len', '4',
+        '--frame_skip', '3', '--past_frames', '2', '--future_frames', '0',
+        '--min_z', '-0.5', '--pt_cube_bounds', '20.0',
+        '--cr_cube_bounds', '16.0', '--cube_mode', '4',
+        '--pt_feat_dim', '4', '--up_down_blocks', '2',
+        '--transition_factor', '4', '--pt_num_neighbors', '4',
+        '--down_neighbors', '4', '--global_size', '8',
+        '--num_cr_local_feats', '4', '--implicit_mlp_blocks', '3',
+        '--cross_attn_layers', '1', '--cross_attn_neighbors', '4',
+        '--num_cr_solid', '64', '--air_sampling_ratio', '1.5',
+        '--color_mode', 'rgb_nosigmoid', '--color_lw', '1.0',
+        '--tracking_lw', '0.0', '--segmentation_lw', '1.0',
+        '--semantic_classes', '13', '--abstract_levels', '2',
+        '--pt_norm_type', 'layer', '--seed', '7',
+        '--data_path', data, '--name', 'c1',
+        '--checkpoint_root', str(root / 'ckpt'),
+        '--log_root', str(root / 'logs'), '--num_epochs', '1',
+        '--batch_size', '2', '--data_parallel', '1',
+        '--use_data_frac', '0.05', '--num_workers', '1',
+    ]
+    cfg = parse_train_args(argv)
+    trainer = train_mod.main(cfg)
+    assert int(np.asarray(trainer.state['step'])) > 0
+    assert os.path.isfile(os.path.join(cfg.output_path, 'checkpoint.pkl'))
+
+    targs = parse_test_args([
+        '--data_path', data, '--resume', 'c1',
+        '--checkpoint_root', str(root / 'ckpt'),
+        '--num_sample', '2048', '--point_sample_mode', 'random',
+        '--save_metrics', 'true', '--use_json', 'false',
+        '--use_data_frac', '-2', '--num_workers', '1', '--seed', '7',
+    ])
+    # CARLA-specific backfill from the train checkpoint.
+    summary = test_driver.main(targs)
+    assert 'segmentation_acc' in summary['mean']
+    tdir = glob.glob(os.path.join(targs.log_path, 'test_*'))[0]
+    assert os.path.isfile(os.path.join(tdir, 'pcl_io_s0.p'))
+    assert os.path.isfile(os.path.join(tdir, 'metrics.json'))
