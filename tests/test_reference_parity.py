@@ -98,6 +98,7 @@ def ref():
             model=importlib.import_module('model'),
             implicit=importlib.import_module('implicit'),
             loss=importlib.import_module('loss'),
+            geometry=importlib.import_module('geometry'),
         )
         yield out
     finally:
@@ -332,3 +333,107 @@ def test_loss_parity_hsv_hue_skip(ref):
     for key in ('dens', 'rgb', 'segm', 'track'):
         np.testing.assert_allclose(float(got[key]), expect[key], rtol=2e-5,
                                    atol=2e-6, err_msg=f'hsv-skip/{key}')
+
+
+@pytest.mark.parametrize('bias', ['none', 'low_moving'])
+def test_sampler_statistical_parity(ref, bias):
+    '''The guided sampler vs the reference's OWN GuidedImplicitPointSampler
+    (/root/reference/utils/geometry.py:578-762) on identical target frames.
+    The reference's rejection loops make bitwise equality meaningless, so this
+    pins the CONTRACTS both must satisfy and the sampling DISTRIBUTIONS:
+
+      * solid queries within point_occupancy_radius/2 of a target point; air
+        queries at least point_occupancy_radius from every target point;
+      * solid targets are exact copies of ground-truth rows (density 1, the
+        chosen point's colors/track mark); air targets are (0, -1, -1, -1, -1);
+      * realized bias shares (solid_sbs / air_sbs) agree;
+      * the 'low' bias pulls the solid z-distribution down comparably.
+    '''
+    import jax
+    from occlusions4d_tpu.sampler import GuidedPointSampler, SamplerConfig
+
+    rng = np.random.RandomState(3)
+    M, S, A, r = 3000, 512, 768, 0.2
+
+    def make_frame():
+        p = np.zeros((M, 9), np.float32)
+        p[:, :3] = rng.rand(M, 3) * [8, 8, 3] - [4, 4, 0.5]
+        p[:, 3] = rng.randint(0, 5, M)                  # instance id.
+        p[:, 4] = rng.randint(0, 2, M)                  # view idx.
+        p[:, 5:8] = rng.rand(M, 3)                      # RGB.
+        p[:, 8] = (rng.rand(M) < 0.2)                   # mark_track.
+        return p
+
+    frames = [make_frame(), make_frame()]
+    t_idx = 0
+
+    logger = types.SimpleNamespace(warning=lambda *a: None,
+                                   info=lambda *a: None,
+                                   error=lambda *a: None,
+                                   debug=lambda *a: None)
+    ref_sampler = ref.geometry.GuidedImplicitPointSampler(
+        logger, min_z=-1.0, cube_bounds=5.0, point_occupancy_radius=r,
+        num_solid=S, num_air=A, predict_segmentation=False,
+        semantic_classes=13, predict_tracking=True, data_kind='greater',
+        point_sample_bias=bias, cube_mode=4)
+    tlist = [torch.from_numpy(f[None]) for f in frames]
+    sizes = [torch.full((1,), M, dtype=torch.long) for _ in frames]
+    valo = torch.zeros(1, 32, dtype=torch.long)
+    np.random.seed(11)
+    torch.manual_seed(11)
+    (rsi, rai, rst, rat, rssb, rasb) = ref_sampler(
+        tlist, sizes, valo, torch.zeros(1, dtype=torch.long), t_idx)
+    rsi, rai = rsi[0].numpy(), rai[0].numpy()
+    rst, rat = rst[0].numpy(), rat[0].numpy()
+    rssb, rasb = rssb[0].numpy(), rasb[0].numpy()
+
+    cfg = SamplerConfig(min_z=-1.0, cube_bounds=5.0, point_occupancy_radius=r,
+                        num_solid=S, num_air=A, predict_segmentation=False,
+                        semantic_classes=13, predict_tracking=True,
+                        data_kind='greater', point_sample_bias=bias)
+    ours = GuidedPointSampler(cfg)
+    res = ours.sample_frame(
+        jax.random.PRNGKey(5), jnp.asarray(frames[t_idx]),
+        jnp.ones(M, bool), jnp.asarray(frames[1]), jnp.ones(M, bool),
+        jnp.zeros(32, jnp.int32), jnp.asarray(0), t_idx)
+    assert bool(res['ok'])
+    osi = np.asarray(res['solid_input'])
+    oai = np.asarray(res['air_input'])
+    ost = np.asarray(res['solid_target'])
+    oat = np.asarray(res['air_target'])
+    ossb = np.asarray(res['solid_sbs'])
+    oasb = np.asarray(res['air_sbs'])
+
+    txyz = frames[t_idx][:, :3]
+
+    def min_dists(q):
+        return np.linalg.norm(q[:, None] - txyz[None], axis=-1).min(-1)
+
+    for name, si, ai, st, at in [('reference', rsi, rai, rst, rat),
+                                 ('ours', osi, oai, ost, oat)]:
+        # Geometric contracts.
+        assert si.shape == (S, 4) and ai.shape == (A, 4), name
+        np.testing.assert_allclose(si[:, 3], t_idx, err_msg=name)
+        np.testing.assert_allclose(ai[:, 3], t_idx, err_msg=name)
+        assert min_dists(si[:, :3]).max() <= r / 2 + 1e-5, name
+        assert min_dists(ai[:, :3]).min() >= r - 1e-5, name
+        # Target contracts: solid rows copy GT rows exactly; air rows are the
+        # (0, -1, -1, -1, -1) filler.
+        np.testing.assert_allclose(st[:, 0], 1.0, err_msg=name)
+        gt_colors = {tuple(np.round(c, 5)) for c in frames[t_idx][:, 5:8]}
+        got = {tuple(np.round(c, 5)) for c in st[:, 1:4]}
+        assert got <= gt_colors, name
+        assert set(np.unique(st[:, 4])) <= {0.0, 1.0}, name
+        np.testing.assert_allclose(at[:, 0], 0.0, err_msg=name)
+        np.testing.assert_allclose(at[:, 1:5], -1.0, err_msg=name)
+
+    # Realized bias shares agree (share-of-S counts; sigma ~ 0.02 at S=512).
+    np.testing.assert_allclose(ossb, rssb, atol=0.1)
+    np.testing.assert_allclose(oasb, rasb, atol=0.1)
+
+    # Distributional agreement of the solid z profile (the 'low' bias pulls
+    # both down the same way) and of the air hardness profile.
+    assert abs(osi[:, 2].mean() - rsi[:, 2].mean()) < 0.3, (
+        osi[:, 2].mean(), rsi[:, 2].mean())
+    assert abs(np.median(min_dists(oai[:, :3]))
+               - np.median(min_dists(rai[:, :3]))) < 0.3
