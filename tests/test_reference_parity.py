@@ -437,3 +437,98 @@ def test_sampler_statistical_parity(ref, bias):
         osi[:, 2].mean(), rsi[:, 2].mean())
     assert abs(np.median(min_dists(oai[:, :3]))
                - np.median(min_dists(rai[:, :3]))) < 0.3
+
+
+@pytest.mark.parametrize('bias', ['vehped', 'low_moving_ivalo_sembal'])
+def test_sampler_statistical_parity_carla(ref, bias):
+    '''CARLA-kind sampler parity against the reference torch sampler: the
+    E=11 channel layout, the cube_mode-4 output-cuboid filter, segmentation
+    targets (with the >= semantic_classes -> 3 fold), and the vehped / ivalo /
+    sembal share logic (geometry.py:810-856) - the cv1 production mixture.'''
+    import jax
+    from occlusions4d_tpu.ops.bounds import carla_output_bounds
+    from occlusions4d_tpu.sampler import GuidedPointSampler, SamplerConfig
+
+    rng = np.random.RandomState(4)
+    M, S, A, r = 3000, 512, 768, 0.2
+    cub = np.asarray(carla_output_bounds(16.0, -0.5, 4), np.float32).reshape(6)
+
+    def make_frame():
+        p = np.zeros((M, 11), np.float32)
+        # Inside the cube_mode-4 output cuboid (with margin for the jitter).
+        for d in range(3):
+            lo, hi = cub[2 * d] + 0.3, cub[2 * d + 1] - 0.3
+            p[:, d] = rng.rand(M) * (hi - lo) + lo
+        p[:, 2] = np.abs(p[:, 2]) * 0.25                # mostly low points.
+        p[:, 3] = rng.rand(M)                           # cosine angle.
+        sem = rng.choice([1, 2, 3, 4, 10, 22], M,
+                         p=[0.3, 0.2, 0.2, 0.08, 0.17, 0.05])
+        inst = np.where(sem == 10, 6, np.where(sem == 4, 7, sem % 6))
+        p[:, 4] = inst
+        p[:, 5] = sem
+        p[:, 6] = rng.randint(0, 2, M)                  # view idx.
+        p[:, 7:10] = rng.rand(M, 3)
+        p[:, 10] = 0.0
+        return p
+
+    frames = [make_frame(), make_frame()]
+    valo_np = np.full(256, -1, np.int64)
+    valo_np[:2] = [6, 7]                                # the vehped instances.
+
+    logger = types.SimpleNamespace(warning=lambda *a: None,
+                                   info=lambda *a: None,
+                                   error=lambda *a: None,
+                                   debug=lambda *a: None)
+    ref_sampler = ref.geometry.GuidedImplicitPointSampler(
+        logger, min_z=-0.5, cube_bounds=16.0, point_occupancy_radius=r,
+        num_solid=S, num_air=A, predict_segmentation=True,
+        semantic_classes=13, predict_tracking=False, data_kind='carla',
+        point_sample_bias=bias, cube_mode=4)
+    tlist = [torch.from_numpy(f[None]) for f in frames]
+    sizes = [torch.full((1,), M, dtype=torch.long) for _ in frames]
+    np.random.seed(21)
+    torch.manual_seed(21)
+    (rsi, rai, rst, rat, rssb, rasb) = ref_sampler(
+        tlist, sizes, torch.from_numpy(valo_np[None]),
+        torch.full((1,), 2, dtype=torch.long), 0)
+    rsi, rst = rsi[0].numpy(), rst[0].numpy()
+    rai, rat = rai[0].numpy(), rat[0].numpy()
+    rssb, rasb = rssb[0].numpy(), rasb[0].numpy()
+
+    cfg = SamplerConfig(min_z=-0.5, cube_bounds=16.0, point_occupancy_radius=r,
+                        num_solid=S, num_air=A, predict_segmentation=True,
+                        semantic_classes=13, predict_tracking=False,
+                        data_kind='carla', point_sample_bias=bias, cube_mode=4)
+    ours = GuidedPointSampler(cfg)
+    res = ours.sample_frame(
+        jax.random.PRNGKey(6), jnp.asarray(frames[0]), jnp.ones(M, bool),
+        jnp.asarray(frames[1]), jnp.ones(M, bool),
+        jnp.asarray(valo_np.astype(np.int32)), jnp.asarray(2), 0)
+    assert bool(res['ok'])
+    osi, ost = np.asarray(res['solid_input']), np.asarray(res['solid_target'])
+    oai, oat = np.asarray(res['air_input']), np.asarray(res['air_target'])
+    ossb, oasb = np.asarray(res['solid_sbs']), np.asarray(res['air_sbs'])
+
+    txyz = frames[0][:, :3]
+
+    def min_dists(q):
+        return np.linalg.norm(q[:, None] - txyz[None], axis=-1).min(-1)
+
+    for name, si, ai, st, at in [('reference', rsi, rai, rst, rat),
+                                 ('ours', osi, oai, ost, oat)]:
+        assert min_dists(si[:, :3]).max() <= r / 2 + 1e-5, name
+        assert min_dists(ai[:, :3]).min() >= r - 1e-5, name
+        np.testing.assert_allclose(st[:, 0], 1.0, err_msg=name)
+        # Segmentation channel: GT tags with >= 13 folded to 3 ('Other').
+        segm = st[:, 5]
+        assert set(np.unique(segm)) <= {1., 2., 3., 4., 10.}, name
+        np.testing.assert_allclose(at[:, 0], 0.0, err_msg=name)
+        np.testing.assert_allclose(at[:, 1:], -1.0, err_msg=name)
+
+    np.testing.assert_allclose(ossb, rssb, atol=0.1)
+    np.testing.assert_allclose(oasb, rasb, atol=0.1)
+    if 'vehped' in bias or 'ivalo' in bias:
+        # The vehped/ivalo biases must enrich classes 4/10 comparably.
+        f_ref = float(np.isin(rst[:, 5], (4, 10)).mean())
+        f_our = float(np.isin(ost[:, 5], (4, 10)).mean())
+        assert abs(f_ref - f_our) < 0.12, (f_ref, f_our)
