@@ -189,14 +189,18 @@ def make_carla_scene(scene_dp, num_frames=60, points_per_frame=3000, seed=0,
     # the surfaces near the ego with small jitter.
     x_hi = 16.0 + 0.5 * T
 
-    def _box(rng, n, center, size, sem, inst, color):
+    def _box(rng, n, center, size):
         p = (rng.rand(n, 3).astype(np.float32) - 0.5) * np.asarray(size, np.float32)
         p += np.asarray(center, np.float32)
-        return p, sem, inst, np.asarray(color, np.float32)
+        return p
 
     def _sample_world(rng, n, ego_x):
         '''(n, 9) rows (x, y, z, cos, inst, sem, R, G, B) in world coords.'''
         counts = [int(n * f) for f in (0.40, 0.10, 0.10, 0.20, 0.12, 0.08)]
+        # Landmark points split evenly; fold both remainders into the road so
+        # every frame has EXACTLY n rows regardless of n.
+        per_landmark = max(counts[3] // len(landmarks), 1)
+        counts[3] = per_landmark * len(landmarks)
         counts[0] += n - sum(counts)
         parts = []
         # Road: z ~ 0, color a smooth function of position (learnable).
@@ -218,19 +222,18 @@ def make_carla_scene(scene_dp, num_frames=60, points_per_frame=3000, seed=0,
                           (cnt, 1))
             parts.append((np.stack([wx, wy, wz], 1), 2, inst, col))
         # Static landmark boxes along the road (positions fixed per scene).
-        per = max(counts[3] // len(landmarks), 1)
+        # Semantic tags avoid 4/10, which are RESERVED for the movers (the
+        # vehped / ivalo / VALO paths key on those CARLA classes).
         for j, (bc, bcol) in enumerate(landmarks):
-            p, sem, inst, col = _box(rng, per, bc, (1.2, 1.2, 1.1),
-                                     3 + (j % 3), 3 + j, bcol)
-            parts.append((p, sem, inst, np.tile(col, (per, 1))))
+            p = _box(rng, per_landmark, bc, (1.2, 1.2, 1.1))
+            parts.append((p, (3, 5, 6, 7)[j % 4], 3 + j,
+                          np.tile(bcol, (per_landmark, 1))))
         # Movers: vehicle (tag 10) ahead of ego, pedestrian (tag 4) beside.
-        p, _, _, _ = _box(rng, counts[4], (ego_x + 6.0, 2.0, 0.6),
-                          (2.4, 1.2, 1.0), 10, 20, None)
+        p = _box(rng, counts[4], (ego_x + 6.0, 2.0, 0.6), (2.4, 1.2, 1.0))
         parts.append((p, 10, 20, np.tile(np.asarray([0.9, 0.1, 0.1],
                                                     np.float32),
                                          (counts[4], 1))))
-        p, _, _, _ = _box(rng, counts[5], (ego_x + 3.0, -2.5, 0.5),
-                          (0.5, 0.5, 1.0), 4, 21, None)
+        p = _box(rng, counts[5], (ego_x + 3.0, -2.5, 0.5), (0.5, 0.5, 1.0))
         parts.append((p, 4, 21, np.tile(np.asarray([0.1, 0.8, 0.2],
                                                    np.float32),
                                         (counts[5], 1))))

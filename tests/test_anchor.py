@@ -21,7 +21,7 @@ _ASSET_ROOT = os.path.join(os.path.dirname(__file__), 'assets')
 # Per-dataset learned-quality floors. Context: the degenerate all-solid
 # baseline scores F1 ~0.06 (GREATER grid, 3% queries occupied) / 0.019
 # (CARLA road cuboid, measured with the 1-NN baseline sweep); the committed
-# anchors measure F1 0.546 (GREATER) and 0.776 / segm acc 0.946 (CARLA, whose
+# anchors measure F1 0.546 (GREATER) and 0.846 / segm acc 0.953 (CARLA, whose
 # structured synthetic scene makes color+semantics learnable functions of
 # position).
 _FLOORS = dict(

@@ -165,7 +165,7 @@ def test_cli_main_carla_end_to_end(tmp_path_factory):
         '--semantic_classes', '13', '--abstract_levels', '2',
         '--pt_norm_type', 'layer', '--seed', '7',
         '--data_path', data, '--name', 'c1',
-        '--checkpoint_root', str(root / 'ckpt'),
+        '--checkpoint_root', str(root / 'checkpoints'),
         '--log_root', str(root / 'logs'), '--num_epochs', '1',
         '--batch_size', '2', '--data_parallel', '1',
         '--use_data_frac', '0.05', '--num_workers', '1',
@@ -177,14 +177,18 @@ def test_cli_main_carla_end_to_end(tmp_path_factory):
 
     targs = parse_test_args([
         '--data_path', data, '--resume', 'c1',
-        '--checkpoint_root', str(root / 'ckpt'),
+        '--checkpoint_root', str(root / 'checkpoints'),
         '--num_sample', '2048', '--point_sample_mode', 'random',
         '--save_metrics', 'true', '--use_json', 'false',
         '--use_data_frac', '-2', '--num_workers', '1', '--seed', '7',
     ])
+    # Auto log-path derivation mirrors checkpoints -> logs (config.py).
+    assert str(root / 'logs') in targs.log_path
     # CARLA-specific backfill from the train checkpoint.
     summary = test_driver.main(targs)
     assert 'segmentation_acc' in summary['mean']
-    tdir = glob.glob(os.path.join(targs.log_path, 'test_*'))[0]
+    test_dirs = glob.glob(os.path.join(targs.log_path, 'test_*'))
+    assert test_dirs, targs.log_path
+    tdir = test_dirs[0]
     assert os.path.isfile(os.path.join(tdir, 'pcl_io_s0.p'))
     assert os.path.isfile(os.path.join(tdir, 'metrics.json'))
