@@ -284,8 +284,10 @@ class CarlaDataset:
         for v, view in enumerate(VIEW_NAMES):
             view_lidar, view_rgb, view_RT, view_K = [], [], [], []
             for f in frame_inds:
-                lidar = np.load(os.path.join(
-                    content_dp, f'{f:05d}_{view}_lidar_segm.npy')).astype(np.float32)
+                # asarray: no copy when the file is already f32 (np.load always
+                # returns fresh memory, so the in-place transform below is safe).
+                lidar = np.asarray(np.load(os.path.join(
+                    content_dp, f'{f:05d}_{view}_lidar_segm.npy')), np.float32)
                 # (N, 9): (x, y, z, cos_angle, inst, sem, R, G, B).
                 cam_RT = sensor_RT[f, v]
                 ref_f = (frame_inds[self.reference_frame]
@@ -306,7 +308,7 @@ class CarlaDataset:
                     inds.sort()
                     lidar = lidar[inds]
                 sample_input_ratios.append(lidar.shape[0] / max(pre_sample, 1))
-                view_lidar.append(lidar.astype(np.float32))
+                view_lidar.append(np.asarray(lidar, np.float32))
                 view_RT.append(cam_RT)
                 view_K.append(sensor_K)
                 if self.return_images:
@@ -389,9 +391,9 @@ class CarlaDataset:
             valid[t, :size] = True
 
         out = dict(
-            pcl_input=pcl_input.astype(np.float32),
-            pcl_input_sem=pcl_input_sem.astype(np.float32),
-            pcl_target=np.stack(pcl_target).astype(np.float32),     # (T, M, 11).
+            pcl_input=np.asarray(pcl_input, np.float32),
+            pcl_input_sem=np.ascontiguousarray(pcl_input_sem, np.float32),
+            pcl_target=np.asarray(np.stack(pcl_target), np.float32),  # (T, M, 11).
             pcl_target_valid=valid,
             valo_ids=valo_pad,
             num_valo_ids=np.int32(num_valo),

@@ -35,6 +35,12 @@ __all__ = ['knn_pallas', 'knn_pallas_spatial', 'nn1_bidir_pallas']
 _LANES = 128
 _BIG_I = 2 ** 30  # python int: jnp constants would be captured as kernel consts.
 
+# Production defaults of the spatial kernel, read at trace time when the
+# corresponding knn_pallas_spatial arguments are left at None. Module-level so
+# measurement scripts can A/B the full train step without touching call sites.
+SPATIAL_BLOCK_K = 2048
+SPATIAL_SCALAR_BOUNDS = False
+
 
 def _insert_sorted(acc_d, acc_i, v_d, v_i):
     '''Insert one (value, index) per row into a row-wise ascending (T, K) list.
@@ -205,13 +211,133 @@ def _knn_spatial_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
     out_i_ref[0] = acci_ref[:]
 
 
+def _knn_spatial_scalar_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
+                               tbox_ref, out_d_ref, out_i_ref, accd_ref,
+                               acci_ref, *, k, block_k, num_blocks):
+    '''
+    Same exact pruned-kNN semantics as _knn_spatial_kernel, with the bound
+    tests moved off the vector unit: the block and tile bboxes live in SMEM
+    and each iteration's lower-bound test is pure scalar-unit work against a
+    loop-carried scalar bound (refreshed by a vector reduce only after a
+    block is actually processed). Skipped blocks therefore cost a handful of
+    scalar cycles instead of a bbox VMEM row load + a (T, 1) reduce, which
+    makes finer block granularity affordable (finer blocks prune ~1.6x more
+    candidate points at 57344-point scale; see PERFLOG round-3 notes).
+    Outputs are bit-identical to _knn_spatial_kernel: the stale (larger)
+    carried bound can only admit extra can't-contribute blocks, whose
+    strict insertions all fail.
+    :param bbox_ref (1, num_blocks, 8) f32 SMEM rows [lo_xyz, hi_xyz, 0, 0].
+    :param tbox_ref (1, 1, 8) f32 SMEM: this tile's [lo_xyz, hi_xyz, 0, 0]
+        (precomputed outside the kernel - scalar lane extracts from a VPU
+        reduction are not a Mosaic-supported pattern).
+    '''
+    (T, K_pad) = accd_ref.shape
+    t_idx = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    q = q_ref[0]                                                   # (T, 3).
+    qn = qn_ref[0]                                                 # (T, 1).
+    accd_ref[:] = jnp.full((T, K_pad), jnp.inf, jnp.float32)
+    acci_ref[:] = jnp.zeros((T, K_pad), jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, block_k), 1)
+    tlo = [tbox_ref[0, 0, j] for j in range(3)]
+    thi = [tbox_ref[0, 0, 3 + j] for j in range(3)]
+    seed = (t_idx * num_blocks) // jnp.maximum(n_tiles, 1)
+
+    def process(b):
+        off = b * block_k
+        kblk = k_ref[0, :, pl.ds(off, block_k)]                    # (3, BK).
+        kn = kn_ref[0, :, pl.ds(off, block_k)]                     # (1, BK).
+        prod = jax.lax.dot_general(
+            q, kblk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                   # (T, BK).
+        d = kn - 2.0 * prod
+
+        acc_d, acc_i = accd_ref[:], acci_ref[:]
+        for _j in range(k):
+            m = jnp.min(d, axis=1, keepdims=True)                  # (T, 1).
+            idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1,
+                          keepdims=True)
+            d = jnp.where(col == idx, jnp.inf, d)
+            acc_d, acc_i = _insert_sorted(acc_d, acc_i, m, idx + off)
+        accd_ref[:] = acc_d
+        acci_ref[:] = acc_i
+
+    process(seed)
+
+    def fresh_bound():
+        return jnp.max(accd_ref[:, k - 1:k] + qn)                  # scalar.
+
+    def body(b, bound):
+        # Scalar-unit lower bound: squared bbox gap between tile and block.
+        lb2 = jnp.float32(0.0)
+        for j in range(3):
+            g = jnp.maximum(jnp.maximum(bbox_ref[0, b, j] - thi[j],
+                                        tlo[j] - bbox_ref[0, b, 3 + j]), 0.0)
+            lb2 = lb2 + g * g
+        hit = jnp.logical_and(lb2 < bound, b != seed)
+
+        @pl.when(hit)
+        def _():
+            process(b)
+
+        return jnp.where(hit, fresh_bound(), bound)
+
+    jax.lax.fori_loop(0, num_blocks, body, fresh_bound())
+    out_d_ref[0] = accd_ref[:]
+    out_i_ref[0] = acci_ref[:]
+
+
 @functools.partial(jax.jit, static_argnames=('k', 'tile_n', 'block_k',
-                                              'interpret'))
-def _knn_spatial_call(q, qn, keys, kn, bbox, k, tile_n, block_k, interpret):
+                                              'interpret', 'scalar_bounds'))
+def _knn_spatial_call(q, qn, keys, kn, bbox, k, tile_n, block_k, interpret,
+                      scalar_bounds=False):
     (B, N_pad, _) = q.shape
     (_, _, M_pad) = keys.shape
     K_pad = _LANES
     num_blocks = M_pad // block_k
+    n_tiles = N_pad // tile_n
+    if scalar_bounds:
+        # Per-tile bboxes, precomputed for the SMEM scalar bound tests.
+        tiles = q.reshape(B, n_tiles, tile_n, 3)
+        tbox = jnp.concatenate([jnp.min(tiles, axis=2), jnp.max(tiles, axis=2),
+                                jnp.zeros((B, n_tiles, 2))], axis=-1)
+        kern = functools.partial(_knn_spatial_scalar_kernel, k=k,
+                                 block_k=block_k, num_blocks=num_blocks)
+        out_d, out_i = pl.pallas_call(
+            kern,
+            grid=(B, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n, 1), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, M_pad), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, num_blocks, 8), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 8), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, tile_n, K_pad), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n, K_pad), lambda b, t: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, N_pad, K_pad), jnp.float32),
+                jax.ShapeDtypeStruct((B, N_pad, K_pad), jnp.int32),
+            ),
+            scratch_shapes=[pltpu.VMEM((tile_n, K_pad), jnp.float32),
+                            pltpu.VMEM((tile_n, K_pad), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(q, qn, keys, kn, bbox, tbox)
+        return out_d, out_i
     kern = functools.partial(_knn_spatial_kernel, k=k, block_k=block_k,
                              num_blocks=num_blocks)
     out_d, out_i = pl.pallas_call(
@@ -302,8 +428,8 @@ def _hilbert_codes(pts, lo, hi, bits=10):
 
 
 def knn_pallas_spatial(query, keys, k, *, key_mask=None, tile_n=256,
-                       block_k=2048, euclidean=True, same=None,
-                       curve='hilbert'):
+                       block_k=None, euclidean=True, same=None,
+                       curve='hilbert', scalar_bounds=None):
     '''
     Exact kNN via Morton sorting + bbox-pruned Pallas extraction: both point
     sets are sorted along a space-filling curve (device-side argsort), so
@@ -321,8 +447,16 @@ def knn_pallas_spatial(query, keys, k, *, key_mask=None, tile_n=256,
     (3.3e9 candidate pairs) the plain kernel's extraction is VPU-bound.
     :param same (bool or None): queries and keys are the same point set
         (self-attention) - reuses one sort. Auto-detected by identity if None.
+    :param scalar_bounds: route to the SMEM scalar-unit bound-test kernel
+        (bit-identical outputs; per-block skip cost drops from a bbox VMEM
+        load + (T, 1) reduce to a few scalar cycles, making small block_k
+        affordable). Off by default until TPU-measured.
     '''
     assert k <= 32
+    if block_k is None:
+        block_k = SPATIAL_BLOCK_K
+    if scalar_bounds is None:
+        scalar_bounds = SPATIAL_SCALAR_BOUNDS
     query = jnp.asarray(query, jnp.float32)
     keys_in = jnp.asarray(keys, jnp.float32)
     (B, N, _) = query.shape
@@ -374,7 +508,8 @@ def knn_pallas_spatial(query, keys, k, *, key_mask=None, tile_n=256,
     interpret = jax.default_backend() != 'tpu'
     out_d, out_i = _knn_spatial_call(q_p, qn, jnp.transpose(k_p, (0, 2, 1)),
                                      kn, bbox, int(k), int(tile_n),
-                                     int(block_k), interpret)
+                                     int(block_k), interpret,
+                                     bool(scalar_bounds))
     d2 = jnp.maximum(out_d[:, :N, :k] + qn[:, :N], 0.0)
     idx_sorted = out_i[:, :N, :k]
     # Map key indices back to the original order, then unsort the query rows.

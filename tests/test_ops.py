@@ -299,3 +299,33 @@ def test_knn_spatial_clustered_data():
     d7 = np.sort(d_full, axis=1)[:, :7]
     near_tie = (d7[:, 6] - d7[:, 5]) < 2e-3 * np.maximum(d7[:, 6], 1.0)
     assert not (mismatch & ~near_tie).any()
+
+
+def test_knn_spatial_scalar_bounds_bit_identical():
+    '''The SMEM scalar-unit bound-test variant must return bit-identical
+    (distances, indices) to the vector-bound kernel: its stale carried bound
+    only admits extra can't-contribute blocks, whose strict insertions all
+    fail. Covered on clustered data (pruning active) at two block sizes.'''
+    from occlusions4d_tpu.ops.pallas_knn import knn_pallas_spatial
+    rng = np.random.RandomState(31)
+    centers = rng.randn(6, 3).astype(np.float32) * 8.0
+    kk = (centers[rng.randint(0, 6, 2000)]
+          + rng.randn(2000, 3).astype(np.float32) * 0.4)[None]
+    q = (centers[rng.randint(0, 6, 700)]
+         + rng.randn(700, 3).astype(np.float32) * 0.4)[None]
+    for bk in (256, 512):
+        d0, i0 = knn_pallas_spatial(jnp.asarray(q), jnp.asarray(kk), 6,
+                                    block_k=bk, scalar_bounds=False)
+        d1, i1 = knn_pallas_spatial(jnp.asarray(q), jnp.asarray(kk), 6,
+                                    block_k=bk, scalar_bounds=True)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    # Self path + key mask, small N (padding edge cases).
+    pts = jnp.asarray(rng.randn(1, 611, 3).astype(np.float32))
+    mask = jnp.asarray(rng.rand(1, 611) > 0.3)
+    d0, i0 = knn_pallas_spatial(pts, pts, 5, key_mask=mask, block_k=256,
+                                scalar_bounds=False)
+    d1, i1 = knn_pallas_spatial(pts, pts, 5, key_mask=mask, block_k=256,
+                                scalar_bounds=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
