@@ -300,13 +300,21 @@ class CarlaDataset:
                 if self.correct_origin_ground:
                     lidar[:, 2] += 1.0  # sensor height (data_carla.py:461-463).
                 pre_filter = lidar.shape[0]
-                lidar = lidar[np.asarray(cuboid_mask(lidar, in_cub))]
-                cuboid_filter_ratios.append(lidar.shape[0] / max(pre_filter, 1))
-                pre_sample = lidar.shape[0]
-                if self.n_points_rnd > 0 and lidar.shape[0] > self.n_points_rnd:
-                    inds = rng.choice(lidar.shape[0], self.n_points_rnd, replace=False)
+                # Compose the cuboid filter with the subsample gather: the
+                # boolean mask-gather would copy all kept rows only for most of
+                # them to be dropped again below. keep_idx is ascending and
+                # `inds` is sorted, so lidar[keep_idx[inds]] is bit-identical
+                # to lidar[mask][inds] (and the rng draw is unchanged: choice
+                # consumes the same stream for the same population size).
+                keep_idx = np.nonzero(cuboid_mask(lidar, in_cub))[0]
+                cuboid_filter_ratios.append(keep_idx.shape[0] / max(pre_filter, 1))
+                pre_sample = keep_idx.shape[0]
+                if self.n_points_rnd > 0 and keep_idx.shape[0] > self.n_points_rnd:
+                    inds = rng.choice(keep_idx.shape[0], self.n_points_rnd,
+                                      replace=False)
                     inds.sort()
-                    lidar = lidar[inds]
+                    keep_idx = keep_idx[inds]
+                lidar = lidar[keep_idx]
                 sample_input_ratios.append(lidar.shape[0] / max(pre_sample, 1))
                 view_lidar.append(np.asarray(lidar, np.float32))
                 view_RT.append(cam_RT)
@@ -324,8 +332,16 @@ class CarlaDataset:
         # Only the forward sensor's accumulated video is consumed: skip the rest.
         lidar_video_fwd = accumulate_pcl_time([all_lidar[0]])[0]
         # (T*N, 10): (..., t).
-        lidar_merged_frames = merge_pcl_views(all_lidar, insert_view_idx=True)
-        # list-T of (V*N, 10): (x, y, z, cos, inst, sem, view, R, G, B).
+        # Full multi-view merged rows are consumed only by the target frames;
+        # valo counting needs just the instance column of every frame, so the
+        # other frames merge one column instead of ten.
+        n_tf = self.pcl_target_frames
+        merged_targets = merge_pcl_views([view[-n_tf:] for view in all_lidar],
+                                         insert_view_idx=True)
+        # list-n_tf of (V*N, 10): (x, y, z, cos, inst, sem, view, R, G, B).
+        merged_inst = [np.concatenate([all_lidar[v][t][:, 4:5]
+                                       for v in range(num_views)])
+                       for t in range(self.video_length)]
 
         if self.pcl_input_frames < self.video_length:
             keep = sum(all_lidar[0][t].shape[0] for t in range(self.pcl_input_frames))
@@ -343,10 +359,10 @@ class CarlaDataset:
         out_cub = carla_output_bounds(self.target_bounds, self.min_z, self.cube_mode,
                                       padding=2.0)
         tgt_cap = abs(self.n_fps_target) if self.n_fps_target != 0 else \
-            max(f.shape[0] for f in lidar_merged_frames)
+            max(f.shape[0] for f in merged_inst)
         pcl_target, pcl_target_size = [], []
         for t in range(self.pcl_target_frames):
-            frame = lidar_merged_frames[-self.pcl_target_frames + t]
+            frame = merged_targets[t]
             # Fused shuffle+filter: the permutation is composed with the
             # cuboid mask so only the kept rows are gathered (same rng stream
             # and exact rows/order as shuffle_rows -> boolean filter; the mask
@@ -375,9 +391,9 @@ class CarlaDataset:
         # (N, 7): (x, y, z, R, G, B, t).
 
         live_occl, valo_pad, num_valo = common.get_valo_ids(
-            pcl_input_sem, lidar_merged_frames, all_lidar, 0, num_views,
+            pcl_input_sem, merged_inst, all_lidar, 0, num_views,
             self.pcl_input_frames, self.video_length, filter_vehped=True,
-            sem_inst_col=1, sem_cat_col=2, merged_inst_col=4,
+            sem_inst_col=1, sem_cat_col=2, merged_inst_col=0, pcl_inst_col=4,
             max_valo_ids=MAX_VALO_IDS)
 
         # Stub mark_track (data_carla.py:615-623).

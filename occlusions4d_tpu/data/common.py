@@ -184,15 +184,20 @@ def pad_rows(pcl, capacity):
 
 def get_valo_ids(used_input_sem, used_merged_frames, all_pcl, src_view, num_views,
                  pcl_input_frames, video_length, filter_vehped, sem_inst_col,
-                 sem_cat_col, merged_inst_col, max_valo_ids, valo_min_points=8):
+                 sem_cat_col, merged_inst_col, max_valo_ids, valo_min_points=8,
+                 pcl_inst_col=None):
     '''
     VALO ids + live per-instance occlusion fractions (data_utils.py:12-100), numpy.
     :param used_input_sem (N, 1-3): semantic columns of the (subsampled) input.
-    :param used_merged_frames: list-T of (V*N, D) merged frames.
-    :param all_pcl: list-V of list-T of per-frame clouds.
+    :param used_merged_frames: list-T of (V*N, D) merged frames (only column
+        merged_inst_col is read, so callers may pass instance-only columns).
+    :param all_pcl: list-V of list-T of per-frame clouds; instance ids read
+        from pcl_inst_col (defaults to merged_inst_col).
     :return (live_occl (pcl_input_frames, max_valo_ids), valo_ids_pad (max,),
              num_valo_ids).
     '''
+    if pcl_inst_col is None:
+        pcl_inst_col = merged_inst_col
     if filter_vehped:
         vehped_mask = np.logical_or(used_input_sem[:, sem_cat_col] == 4,
                                     used_input_sem[:, sem_cat_col] == 10)
@@ -216,7 +221,7 @@ def get_valo_ids(used_input_sem, used_merged_frames, all_pcl, src_view, num_view
              for t in range(video_length)])                 # (T, n) int64.
         max_merged = merged_cnt.max(axis=0)                 # (n,) int64.
         for t in range(pcl_input_frames):
-            cnt = _counts_for(va, all_pcl[src_view][t][:, merged_inst_col])
+            cnt = _counts_for(va, all_pcl[src_view][t][:, pcl_inst_col])
             # f64 math then f32 store: same rounding as the scalar loop.
             live_occl[t, :va.size] = np.maximum(
                 1.0 - cnt * num_views / (max_merged + 1e-6), 0.0)

@@ -379,8 +379,15 @@ class GreaterDataset:
         # (data_greater.py:461-469): skip building the other views'.
         pcl_video_src = accumulate_pcl_time([all_pcl[src_view]])[0]
         # (T*N, 8): (x, y, z, inst, R, G, B, t).
-        pcl_merged_frames = merge_pcl_views(all_pcl, insert_view_idx=True)
-        # list-T of (V*N, 8): (x, y, z, inst, view, R, G, B).
+        # Full multi-view merged rows are consumed only by the target frames;
+        # valo counting needs just the instance column of every frame.
+        n_tf = self.pcl_target_frames
+        merged_targets = merge_pcl_views([view[-n_tf:] for view in all_pcl],
+                                         insert_view_idx=True)
+        # list-n_tf of (V*N, 8): (x, y, z, inst, view, R, G, B).
+        merged_inst = [np.concatenate([all_pcl[v][t][:, 3:4]
+                                       for v in range(num_views)])
+                       for t in range(self.video_length)]
 
         # Input: source view, first pcl_input_frames frames (data_greater.py:461-469).
         if self.pcl_input_frames < self.video_length:
@@ -396,10 +403,10 @@ class GreaterDataset:
 
         # Targets: merged multi-view frames, random-subsampled (n_fps_target < 0).
         tgt_cap = abs(self.n_fps_target) if self.n_fps_target != 0 else \
-            max(f.shape[0] for f in pcl_merged_frames)
+            max(f.shape[0] for f in merged_inst)
         pcl_target, pcl_target_size = [], []
         for t in range(self.pcl_target_frames):
-            frame = pcl_merged_frames[-self.pcl_target_frames + t]
+            frame = merged_targets[t]
             if self.n_fps_target != 0:
                 mode = 'farthest_point' if self.n_fps_target > 0 else 'random'
                 # shuffle=True == shuffle_rows + subsample (same rng stream),
@@ -418,9 +425,9 @@ class GreaterDataset:
         # (N, 7): (x, y, z, R, G, B, t).
 
         live_occl, valo_pad, num_valo = common.get_valo_ids(
-            pcl_input_sem, pcl_merged_frames, all_pcl, src_view, num_views,
+            pcl_input_sem, merged_inst, all_pcl, src_view, num_views,
             self.pcl_input_frames, self.video_length, filter_vehped=False,
-            sem_inst_col=0, sem_cat_col=0, merged_inst_col=3,
+            sem_inst_col=0, sem_cat_col=0, merged_inst_col=0, pcl_inst_col=3,
             max_valo_ids=MAX_VALO_IDS)
 
         # Track marking (data_greater.py:528-567): mark one instance in the first

@@ -213,13 +213,14 @@ def _knn_spatial_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
 
 def _knn_spatial_scalar_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
                                tbox_ref, out_d_ref, out_i_ref, accd_ref,
-                               acci_ref, *, k, block_k, num_blocks):
+                               acci_ref, bound_ref, *, k, block_k, num_blocks):
     '''
     Same exact pruned-kNN semantics as _knn_spatial_kernel, with the bound
     tests moved off the vector unit: the block and tile bboxes live in SMEM
-    and each iteration's lower-bound test is pure scalar-unit work against a
-    loop-carried scalar bound (refreshed by a vector reduce only after a
-    block is actually processed). Skipped blocks therefore cost a handful of
+    and each iteration's lower-bound test is pure scalar-unit work against an
+    SMEM-resident scalar bound (refreshed by a vector reduce only inside the
+    pl.when of an actually-processed block). Skipped blocks therefore cost a
+    handful of
     scalar cycles instead of a bbox VMEM row load + a (T, 1) reduce, which
     makes finer block granularity affordable (finer blocks prune ~1.6x more
     candidate points at 57344-point scale; see PERFLOG round-3 notes).
@@ -264,26 +265,28 @@ def _knn_spatial_scalar_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
         acci_ref[:] = acc_i
 
     process(seed)
+    # The running bound lives in SMEM so its vector-reduce refresh is
+    # predicated on actually processing a block (a jnp.where over a fori carry
+    # would evaluate the reduce every iteration, skipped blocks included).
+    bound_ref[0] = jnp.max(accd_ref[:, k - 1:k] + qn)
 
-    def fresh_bound():
-        return jnp.max(accd_ref[:, k - 1:k] + qn)                  # scalar.
-
-    def body(b, bound):
+    def body(b, _):
         # Scalar-unit lower bound: squared bbox gap between tile and block.
         lb2 = jnp.float32(0.0)
         for j in range(3):
             g = jnp.maximum(jnp.maximum(bbox_ref[0, b, j] - thi[j],
                                         tlo[j] - bbox_ref[0, b, 3 + j]), 0.0)
             lb2 = lb2 + g * g
-        hit = jnp.logical_and(lb2 < bound, b != seed)
+        hit = jnp.logical_and(lb2 < bound_ref[0], b != seed)
 
         @pl.when(hit)
         def _():
             process(b)
+            bound_ref[0] = jnp.max(accd_ref[:, k - 1:k] + qn)
 
-        return jnp.where(hit, fresh_bound(), bound)
+        return 0
 
-    jax.lax.fori_loop(0, num_blocks, body, fresh_bound())
+    jax.lax.fori_loop(0, num_blocks, body, 0)
     out_d_ref[0] = accd_ref[:]
     out_i_ref[0] = acci_ref[:]
 
@@ -332,7 +335,8 @@ def _knn_spatial_call(q, qn, keys, kn, bbox, k, tile_n, block_k, interpret,
                 jax.ShapeDtypeStruct((B, N_pad, K_pad), jnp.int32),
             ),
             scratch_shapes=[pltpu.VMEM((tile_n, K_pad), jnp.float32),
-                            pltpu.VMEM((tile_n, K_pad), jnp.int32)],
+                            pltpu.VMEM((tile_n, K_pad), jnp.int32),
+                            pltpu.SMEM((1,), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
