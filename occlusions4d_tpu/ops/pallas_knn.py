@@ -58,6 +58,33 @@ def _insert_sorted(acc_d, acc_i, v_d, v_i):
     return new_d, new_i
 
 
+def _process_block(b, q, col, k_ref, kn_ref, accd_ref, acci_ref, *, k, block_k):
+    '''Fold key block `b` into the running sorted top-k accumulators: one MXU
+    distance matmul over the (T, BK) block, then k sequential
+    (min, first-index, invalidate) extraction passes merged via _insert_sorted.
+    Shared verbatim by all three kernels - tie policy, precision, and insert
+    semantics must stay identical across them (the scalar-bounds kernel's
+    equivalence proof depends on it).'''
+    off = b * block_k
+    kblk = k_ref[0, :, pl.ds(off, block_k)]                        # (3, BK).
+    kn = kn_ref[0, :, pl.ds(off, block_k)]                         # (1, BK).
+    prod = jax.lax.dot_general(
+        q, kblk, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                       # (T, BK).
+    d = kn - 2.0 * prod                                            # (T, BK).
+
+    acc_d, acc_i = accd_ref[:], acci_ref[:]
+    for _j in range(k):
+        m = jnp.min(d, axis=1, keepdims=True)                      # (T, 1).
+        idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1,
+                      keepdims=True)                               # (T, 1).
+        d = jnp.where(col == idx, jnp.inf, d)
+        acc_d, acc_i = _insert_sorted(acc_d, acc_i, m, idx + off)
+    accd_ref[:] = acc_d
+    acci_ref[:] = acc_i
+
+
 def _knn_kernel(q_ref, k_ref, kn_ref, out_d_ref, out_i_ref, accd_ref, acci_ref,
                 *, k, block_k, num_blocks):
     '''
@@ -77,24 +104,8 @@ def _knn_kernel(q_ref, k_ref, kn_ref, out_d_ref, out_i_ref, accd_ref, acci_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (T, block_k), 1)
 
     def body(b, _):
-        off = b * block_k
-        kblk = k_ref[0, :, pl.ds(off, block_k)]                    # (3, BK).
-        kn = kn_ref[0, :, pl.ds(off, block_k)]                     # (1, BK).
-        prod = jax.lax.dot_general(
-            q, kblk, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                   # (T, BK).
-        d = kn - 2.0 * prod                                        # (T, BK).
-
-        acc_d, acc_i = accd_ref[:], acci_ref[:]
-        for _j in range(k):
-            m = jnp.min(d, axis=1, keepdims=True)                  # (T, 1).
-            idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1,
-                          keepdims=True)                           # (T, 1).
-            d = jnp.where(col == idx, jnp.inf, d)
-            acc_d, acc_i = _insert_sorted(acc_d, acc_i, m, idx + off)
-        accd_ref[:] = acc_d
-        acci_ref[:] = acc_i
+        _process_block(b, q, col, k_ref, kn_ref, accd_ref, acci_ref,
+                       k=k, block_k=block_k)
         return 0
 
     jax.lax.fori_loop(0, num_blocks, body, 0)
@@ -185,24 +196,8 @@ def _knn_spatial_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
 
         @pl.when(jnp.logical_and(lb2 < bound, jnp.logical_not(revisit)))
         def _process():
-            off = b * block_k
-            kblk = k_ref[0, :, pl.ds(off, block_k)]                # (3, BK).
-            kn = kn_ref[0, :, pl.ds(off, block_k)]                 # (1, BK).
-            prod = jax.lax.dot_general(
-                q, kblk, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)               # (T, BK).
-            d = kn - 2.0 * prod
-
-            acc_d, acc_i = accd_ref[:], acci_ref[:]
-            for _j in range(k):
-                m = jnp.min(d, axis=1, keepdims=True)              # (T, 1).
-                idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1,
-                              keepdims=True)
-                d = jnp.where(col == idx, jnp.inf, d)
-                acc_d, acc_i = _insert_sorted(acc_d, acc_i, m, idx + off)
-            accd_ref[:] = acc_d
-            acci_ref[:] = acc_i
+            _process_block(b, q, col, k_ref, kn_ref, accd_ref, acci_ref,
+                           k=k, block_k=block_k)
 
         return 0
 
@@ -224,9 +219,21 @@ def _knn_spatial_scalar_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
     scalar cycles instead of a bbox VMEM row load + a (T, 1) reduce, which
     makes finer block granularity affordable (finer blocks prune ~1.6x more
     candidate points at 57344-point scale; see PERFLOG round-3 notes).
-    Outputs are bit-identical to _knn_spatial_kernel: the stale (larger)
-    carried bound can only admit extra can't-contribute blocks, whose
-    strict insertions all fail.
+
+    Equivalence to _knn_spatial_kernel: the bound here is never stale - skipped
+    blocks cannot change the accumulator, and every processed block refreshes
+    bound_ref - so both kernels test every block against the same bound value
+    and process identical block sets (hence bit-identical outputs), PROVIDED
+    the lb2 arithmetic rounds identically on both paths. Do NOT relax the
+    refresh cadence: with the |b|^2 - 2ab expansion's cancellation error, a
+    block admitted under an oversized bound can genuinely insert, silently
+    breaking the equivalence. The bit-identity is verified in interpret mode
+    by tests/test_ops.py::test_knn_spatial_scalar_bounds_bit_identical; on TPU
+    the scalar-core sequential (g0^2 + g1^2) + g2^2 sum could in principle
+    round differently from the vector kernel's 3-lane jnp.sum reduce for an
+    lb2 within 1 ulp of the bound, so the device A/B re-checks identity before
+    any default flip (near-tie index swaps are within the tolerance the
+    spatial path already documents).
     :param bbox_ref (1, num_blocks, 8) f32 SMEM rows [lo_xyz, hi_xyz, 0, 0].
     :param tbox_ref (1, 1, 8) f32 SMEM: this tile's [lo_xyz, hi_xyz, 0, 0]
         (precomputed outside the kernel - scalar lane extracts from a VPU
@@ -245,24 +252,8 @@ def _knn_spatial_scalar_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
     seed = (t_idx * num_blocks) // jnp.maximum(n_tiles, 1)
 
     def process(b):
-        off = b * block_k
-        kblk = k_ref[0, :, pl.ds(off, block_k)]                    # (3, BK).
-        kn = kn_ref[0, :, pl.ds(off, block_k)]                     # (1, BK).
-        prod = jax.lax.dot_general(
-            q, kblk, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                   # (T, BK).
-        d = kn - 2.0 * prod
-
-        acc_d, acc_i = accd_ref[:], acci_ref[:]
-        for _j in range(k):
-            m = jnp.min(d, axis=1, keepdims=True)                  # (T, 1).
-            idx = jnp.min(jnp.where(d <= m, col, _BIG_I), axis=1,
-                          keepdims=True)
-            d = jnp.where(col == idx, jnp.inf, d)
-            acc_d, acc_i = _insert_sorted(acc_d, acc_i, m, idx + off)
-        accd_ref[:] = acc_d
-        acci_ref[:] = acc_i
+        _process_block(b, q, col, k_ref, kn_ref, accd_ref, acci_ref,
+                       k=k, block_k=block_k)
 
     process(seed)
     # The running bound lives in SMEM so its vector-reduce refresh is
@@ -300,65 +291,42 @@ def _knn_spatial_call(q, qn, keys, kn, bbox, k, tile_n, block_k, interpret,
     K_pad = _LANES
     num_blocks = M_pad // block_k
     n_tiles = N_pad // tile_n
+
+    in_specs = [
+        pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n, 1), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, M_pad), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        # Block bboxes: SMEM for the scalar-unit bound tests, VMEM otherwise.
+        pl.BlockSpec((1, num_blocks, 8), lambda b, t: (b, 0, 0),
+                     memory_space=(pltpu.SMEM if scalar_bounds
+                                   else pltpu.VMEM)),
+    ]
+    operands = [q, qn, keys, kn, bbox]
+    scratch = [pltpu.VMEM((tile_n, K_pad), jnp.float32),
+               pltpu.VMEM((tile_n, K_pad), jnp.int32)]
     if scalar_bounds:
         # Per-tile bboxes, precomputed for the SMEM scalar bound tests.
         tiles = q.reshape(B, n_tiles, tile_n, 3)
         tbox = jnp.concatenate([jnp.min(tiles, axis=2), jnp.max(tiles, axis=2),
                                 jnp.zeros((B, n_tiles, 2))], axis=-1)
+        in_specs.append(pl.BlockSpec((1, 1, 8), lambda b, t: (b, t, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(tbox)
+        scratch.append(pltpu.SMEM((1,), jnp.float32))
         kern = functools.partial(_knn_spatial_scalar_kernel, k=k,
                                  block_k=block_k, num_blocks=num_blocks)
-        out_d, out_i = pl.pallas_call(
-            kern,
-            grid=(B, n_tiles),
-            in_specs=[
-                pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile_n, 1), lambda b, t: (b, t, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, M_pad), lambda b, t: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, num_blocks, 8), lambda b, t: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 8), lambda b, t: (b, t, 0),
-                             memory_space=pltpu.SMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, tile_n, K_pad), lambda b, t: (b, t, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tile_n, K_pad), lambda b, t: (b, t, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((B, N_pad, K_pad), jnp.float32),
-                jax.ShapeDtypeStruct((B, N_pad, K_pad), jnp.int32),
-            ),
-            scratch_shapes=[pltpu.VMEM((tile_n, K_pad), jnp.float32),
-                            pltpu.VMEM((tile_n, K_pad), jnp.int32),
-                            pltpu.SMEM((1,), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 1024 * 1024),
-            interpret=interpret,
-        )(q, qn, keys, kn, bbox, tbox)
-        return out_d, out_i
-    kern = functools.partial(_knn_spatial_kernel, k=k, block_k=block_k,
-                             num_blocks=num_blocks)
+    else:
+        kern = functools.partial(_knn_spatial_kernel, k=k, block_k=block_k,
+                                 num_blocks=num_blocks)
     out_d, out_i = pl.pallas_call(
         kern,
-        grid=(B, N_pad // tile_n),
-        in_specs=[
-            pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n, 1), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, M_pad), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, num_blocks, 8), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(B, n_tiles),
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, tile_n, K_pad), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
@@ -369,11 +337,10 @@ def _knn_spatial_call(q, qn, keys, kn, bbox, k, tile_n, block_k, interpret,
             jax.ShapeDtypeStruct((B, N_pad, K_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, N_pad, K_pad), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((tile_n, K_pad), jnp.float32),
-                        pltpu.VMEM((tile_n, K_pad), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(q, qn, keys, kn, bbox)
+    )(*operands)
     return out_d, out_i
 
 
