@@ -234,8 +234,10 @@ def _knn_spatial_scalar_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
     lb2 within 1 ulp of the bound, so the device A/B re-checks identity before
     any default flip (near-tie index swaps are within the tolerance the
     spatial path already documents).
-    :param bbox_ref (1, num_blocks, 8) f32 SMEM rows [lo_xyz, hi_xyz, 0, 0].
-    :param tbox_ref (1, 1, 8) f32 SMEM: this tile's [lo_xyz, hi_xyz, 0, 0]
+    :param bbox_ref (1, num_blocks * 8) f32 SMEM, flattened [lo_xyz, hi_xyz,
+        0, 0] rows (rank-2: SMEM operands are scalar-indexed and Mosaic wants
+        them flat).
+    :param tbox_ref (1, 8) f32 SMEM: this tile's [lo_xyz, hi_xyz, 0, 0]
         (precomputed outside the kernel - scalar lane extracts from a VPU
         reduction are not a Mosaic-supported pattern).
     '''
@@ -247,8 +249,8 @@ def _knn_spatial_scalar_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
     accd_ref[:] = jnp.full((T, K_pad), jnp.inf, jnp.float32)
     acci_ref[:] = jnp.zeros((T, K_pad), jnp.int32)
     col = jax.lax.broadcasted_iota(jnp.int32, (T, block_k), 1)
-    tlo = [tbox_ref[0, 0, j] for j in range(3)]
-    thi = [tbox_ref[0, 0, 3 + j] for j in range(3)]
+    tlo = [tbox_ref[0, j] for j in range(3)]
+    thi = [tbox_ref[0, 3 + j] for j in range(3)]
     seed = (t_idx * num_blocks) // jnp.maximum(n_tiles, 1)
 
     def process(b):
@@ -265,8 +267,9 @@ def _knn_spatial_scalar_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
         # Scalar-unit lower bound: squared bbox gap between tile and block.
         lb2 = jnp.float32(0.0)
         for j in range(3):
-            g = jnp.maximum(jnp.maximum(bbox_ref[0, b, j] - thi[j],
-                                        tlo[j] - bbox_ref[0, b, 3 + j]), 0.0)
+            g = jnp.maximum(jnp.maximum(bbox_ref[0, b * 8 + j] - thi[j],
+                                        tlo[j] - bbox_ref[0, b * 8 + 3 + j]),
+                            0.0)
             lb2 = lb2 + g * g
         hit = jnp.logical_and(lb2 < bound_ref[0], b != seed)
 
@@ -301,26 +304,29 @@ def _knn_spatial_call(q, qn, keys, kn, bbox, k, tile_n, block_k, interpret,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, M_pad), lambda b, t: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        # Block bboxes: SMEM for the scalar-unit bound tests, VMEM otherwise.
-        pl.BlockSpec((1, num_blocks, 8), lambda b, t: (b, 0, 0),
-                     memory_space=(pltpu.SMEM if scalar_bounds
-                                   else pltpu.VMEM)),
     ]
-    operands = [q, qn, keys, kn, bbox]
+    operands = [q, qn, keys, kn]
     scratch = [pltpu.VMEM((tile_n, K_pad), jnp.float32),
                pltpu.VMEM((tile_n, K_pad), jnp.int32)]
     if scalar_bounds:
-        # Per-tile bboxes, precomputed for the SMEM scalar bound tests.
+        # Block + per-tile bboxes flattened to rank-2 for SMEM (scalar reads).
+        in_specs.append(pl.BlockSpec((1, num_blocks * 8), lambda b, t: (b, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(bbox.reshape(B, num_blocks * 8))
         tiles = q.reshape(B, n_tiles, tile_n, 3)
         tbox = jnp.concatenate([jnp.min(tiles, axis=2), jnp.max(tiles, axis=2),
                                 jnp.zeros((B, n_tiles, 2))], axis=-1)
-        in_specs.append(pl.BlockSpec((1, 1, 8), lambda b, t: (b, t, 0),
-                                     memory_space=pltpu.SMEM))
-        operands.append(tbox)
+        in_specs.append(pl.BlockSpec(
+            (1, 8), lambda b, t: (b * n_tiles + t, 0),
+            memory_space=pltpu.SMEM))
+        operands.append(tbox.reshape(B * n_tiles, 8))
         scratch.append(pltpu.SMEM((1,), jnp.float32))
         kern = functools.partial(_knn_spatial_scalar_kernel, k=k,
                                  block_k=block_k, num_blocks=num_blocks)
     else:
+        in_specs.append(pl.BlockSpec((1, num_blocks, 8), lambda b, t: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bbox)
         kern = functools.partial(_knn_spatial_kernel, k=k, block_k=block_k,
                                  num_blocks=num_blocks)
     out_d, out_i = pl.pallas_call(
