@@ -69,7 +69,7 @@ extern "C" {
 // skipped for an iteration when the squared distance from the new pick to its
 // bbox is >= its stored max (then d(i, pick) >= lb >= max >= min_d[i] for
 // every member, so no update can happen and the stored max/argmax stay
-// valid). Chunks are grouped 16-to-a-superchunk with union bboxes and the
+// valid). Chunks are grouped S-to-a-superchunk with union bboxes and the
 // running max of their children's maxima; a superchunk whose bbox lower
 // bound is >= that running max skips all 16 children with one test (the
 // child bound is >= the super bound, so each child's own skip condition
@@ -115,7 +115,7 @@ void o4d_fps(const float* xyz, int64_t n, int64_t n_out, int64_t start_idx,
     std::sort(order.begin(), order.end());
 
     // SoA in sorted order + per-chunk bboxes.
-    const int64_t C = 512;
+    const int64_t C = 256;
     const int64_t nchunks = (n + C - 1) / C;
     std::vector<float> px(n), py(n), pz(n), min_d(n, FLT_MAX);
     std::vector<int32_t> orig(n);
@@ -146,7 +146,7 @@ void o4d_fps(const float* xyz, int64_t n, int64_t n_out, int64_t start_idx,
     }
 
     // Superchunk level: union bboxes + running max over child maxima.
-    const int64_t S = 16;
+    const int64_t S = 32;
     const int64_t nsup = (nchunks + S - 1) / S;
     std::vector<float> slo(nsup * 3), shi(nsup * 3);
     std::vector<float> smax(nsup, FLT_MAX);
