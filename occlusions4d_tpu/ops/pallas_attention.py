@@ -40,6 +40,14 @@ __all__ = ['fused_knn_vector_attention', 'fused_knn_interp', 'knn_extract']
 _LANES = 128
 _BIG_I = 2 ** 30
 
+# Sweep tunables (numerics-neutral): the in-kernel neighbor group size used
+# when a caller passes group=None, and an override for the projection-placement
+# heuristic (None = shape rule below; True/False forces premul on/off). Module
+# globals so step-level A/B sweeps can retune them without replumbing call
+# sites; both only affect scheduling, never outputs.
+DEFAULT_ATTN_GROUP = 4
+FORCE_PREMUL = None
+
 
 def _mm(a, b, cd):
     # Mosaic's default f32 dot executes as a single bf16 MXU pass; request the
@@ -941,7 +949,7 @@ def fused_knn_vector_attention(q_proj, q_pos, feats2, pos2, params, k,
     '''
     assert k <= 32
     if group is None:
-        group = 4
+        group = DEFAULT_ATTN_GROUP
     (B, N, dim) = q_proj.shape
     (_, M, feat) = feats2.shape
     tile_n = min(tile_n, max(_LANES, 1 << (N - 1).bit_length()))
@@ -953,7 +961,8 @@ def fused_knn_vector_attention(q_proj, q_pos, feats2, pos2, params, k,
     # (gather cost K*T*M*(E+3) + proj 2*K*T*E*D vs K*T*M*(2D+3)), but at small
     # M the extra per-group matmuls cost more than the wider gather (measured:
     # premul wins at the gv1 M=531 decode, in-kernel wins at cv1 M=2124).
-    premul = M_pad * (2 * dim - feat) < 4 * feat * dim
+    premul = (M_pad * (2 * dim - feat) < 4 * feat * dim
+              if FORCE_PREMUL is None else bool(FORCE_PREMUL))
 
     pad_q = ((0, 0), (0, N_pad - N), (0, 0))
     q_pos_p = jnp.pad(q_pos.astype(jnp.float32), pad_q)
