@@ -234,14 +234,16 @@ def _knn_spatial_scalar_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
     lb2 within 1 ulp of the bound, so the device A/B re-checks identity before
     any default flip (near-tie index swaps are within the tolerance the
     spatial path already documents).
-    :param bbox_ref (1, num_blocks * 8) f32 SMEM, flattened [lo_xyz, hi_xyz,
-        0, 0] rows (rank-2: SMEM operands are scalar-indexed and Mosaic wants
-        them flat).
-    :param tbox_ref (1, 8) f32 SMEM: this tile's [lo_xyz, hi_xyz, 0, 0]
+    :param bbox_ref (B, num_blocks * 8) f32 SMEM, flattened [lo_xyz, hi_xyz,
+        0, 0] rows, whole array (Mosaic requires SMEM blocks to equal the
+        array dims; the kernel picks its batch row via program_id(0)).
+    :param tbox_ref (B * n_tiles, 8) f32 SMEM: per-tile [lo_xyz, hi_xyz, 0, 0]
         (precomputed outside the kernel - scalar lane extracts from a VPU
-        reduction are not a Mosaic-supported pattern).
+        reduction are not a Mosaic-supported pattern), whole array; the kernel
+        reads row b * n_tiles + t.
     '''
     (T, K_pad) = accd_ref.shape
+    b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     q = q_ref[0]                                                   # (T, 3).
@@ -249,8 +251,9 @@ def _knn_spatial_scalar_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
     accd_ref[:] = jnp.full((T, K_pad), jnp.inf, jnp.float32)
     acci_ref[:] = jnp.zeros((T, K_pad), jnp.int32)
     col = jax.lax.broadcasted_iota(jnp.int32, (T, block_k), 1)
-    tlo = [tbox_ref[0, j] for j in range(3)]
-    thi = [tbox_ref[0, 3 + j] for j in range(3)]
+    trow = b_idx * n_tiles + t_idx
+    tlo = [tbox_ref[trow, j] for j in range(3)]
+    thi = [tbox_ref[trow, 3 + j] for j in range(3)]
     seed = (t_idx * num_blocks) // jnp.maximum(n_tiles, 1)
 
     def process(b):
@@ -267,9 +270,10 @@ def _knn_spatial_scalar_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
         # Scalar-unit lower bound: squared bbox gap between tile and block.
         lb2 = jnp.float32(0.0)
         for j in range(3):
-            g = jnp.maximum(jnp.maximum(bbox_ref[0, b * 8 + j] - thi[j],
-                                        tlo[j] - bbox_ref[0, b * 8 + 3 + j]),
-                            0.0)
+            g = jnp.maximum(
+                jnp.maximum(bbox_ref[b_idx, b * 8 + j] - thi[j],
+                            tlo[j] - bbox_ref[b_idx, b * 8 + 3 + j]),
+                0.0)
             lb2 = lb2 + g * g
         hit = jnp.logical_and(lb2 < bound_ref[0], b != seed)
 
@@ -310,14 +314,17 @@ def _knn_spatial_call(q, qn, keys, kn, bbox, k, tile_n, block_k, interpret,
                pltpu.VMEM((tile_n, K_pad), jnp.int32)]
     if scalar_bounds:
         # Block + per-tile bboxes flattened to rank-2 for SMEM (scalar reads).
-        in_specs.append(pl.BlockSpec((1, num_blocks * 8), lambda b, t: (b, 0),
+        # Mosaic requires SMEM block shapes to equal the array dims (or tile
+        # by (8, 128)), so both operands arrive whole and the kernel indexes
+        # its batch/tile row off the program ids.
+        in_specs.append(pl.BlockSpec((B, num_blocks * 8), lambda b, t: (0, 0),
                                      memory_space=pltpu.SMEM))
         operands.append(bbox.reshape(B, num_blocks * 8))
         tiles = q.reshape(B, n_tiles, tile_n, 3)
         tbox = jnp.concatenate([jnp.min(tiles, axis=2), jnp.max(tiles, axis=2),
                                 jnp.zeros((B, n_tiles, 2))], axis=-1)
         in_specs.append(pl.BlockSpec(
-            (1, 8), lambda b, t: (b * n_tiles + t, 0),
+            (B * n_tiles, 8), lambda b, t: (0, 0),
             memory_space=pltpu.SMEM))
         operands.append(tbox.reshape(B * n_tiles, 8))
         scratch.append(pltpu.SMEM((1,), jnp.float32))
