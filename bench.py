@@ -35,6 +35,15 @@ def _sync(x):
     return float(np.asarray(x.ravel()[0]))
 
 
+def _progress(msg):
+    '''Phase marker on stderr (stdout stays the single JSON result line);
+    cold compiles through the remote-compile tunnel take minutes per phase,
+    so a silent run is indistinguishable from a hung one without these.'''
+    import sys
+    print(f'[bench +{time.time() - _T0:7.1f}s] {msg}', file=sys.stderr,
+          flush=True)
+
+
 def _time_train_step(cfg, n_points, batch_size=1, steps=3, trials=2,
                      data_kind='greater'):
     '''One-chip jitted train-step latency (ms) at the given point budget:
@@ -105,6 +114,7 @@ def main():
                       video_len=12, frame_skip=2, pt_cube_bounds=5.0,
                       cr_cube_bounds=5.0, past_frames=4)
     verify_args(cfg, is_train=True)
+    _progress('building gv1 models')
     encoder, decoder, enc_args, dec_args = factory.build_models(
         cfg, 'greater', fps_random_start=False)
 
@@ -131,6 +141,7 @@ def main():
     n_queries = queries.shape[0]
     n_chips = engine.mesh.devices.size
 
+    _progress('warmup: compiling encoder + full decode scan')
     # Warmup (compile encoder + the full-shape chunked decode scan; a partial
     # query set would compile a different scan length and leave the timed reps
     # paying a recompile).
@@ -140,6 +151,7 @@ def main():
 
     # Encoder forward timing (tracked metric 2): dispatch reps, one sync; best of
     # 3 trials (the tunnel adds sporadic multi-100ms stalls to any one window).
+    _progress('timing encoder forward')
     trials = []
     for _ in range(3):
         reps_e = 10
@@ -153,6 +165,7 @@ def main():
     # Full dense scene: encode + all query chunks (tracked metric 1 / north star).
     # Best of 3 windows: the tunnel (and any concurrent host load) injects
     # sporadic multi-100ms stalls into individual windows.
+    _progress('timing dense scene')
     reps = 3
     scene_trials = []
     for _ in range(3):
@@ -180,7 +193,9 @@ def main():
             print(f'train-step extra failed: {exc!r}', file=sys.stderr)
             return None
 
+    _progress('train step gv1 (compile may take minutes)')
     train_gv1_ms = _maybe_train(lambda: _time_train_step(cfg, n_points=14336))
+    _progress('train step n57344')
     train_57k_ms = _maybe_train(lambda: _time_train_step(cfg, n_points=57344))
 
     # cv1 (CARLA, /root/reference/README.md:41): layer norm, abstract_levels 2
@@ -193,6 +208,7 @@ def main():
         cube_mode=4, abstract_levels=2, semantic_classes=13,
         point_sample_bias='low_moving_ivalo_sembal', air_sampling_ratio=1.4)
     verify_args(cv1, is_train=True)
+    _progress('train step cv1 (carla)')
     train_cv1_ms = _maybe_train(
         lambda: _time_train_step(cv1, n_points=14336, data_kind='carla'))
 
