@@ -191,7 +191,17 @@ def load_reference_checkpoint(path):
 # contents of the reference dict (train.py:336-357): model params, optimizer state,
 # epoch, and all constructor/dataset args. Written as both model_{e}.pkl and a rolling
 # checkpoint.pkl.
+#
+# On-disk format (since schema version 1): an outer envelope dict
+# {format, version, crc32, payload} where payload is the pickled inner dict and
+# crc32 covers the payload bytes, so a truncated or bit-flipped file fails fast
+# with a clear message at load time instead of an opaque mid-resume unpickle
+# error. Legacy bare-pickle checkpoints (round <= 3 anchors) still load.
 # ---------------------------------------------------------------------------
+
+_CKPT_FORMAT = 'o4d_ckpt'
+_CKPT_VERSION = 1
+
 
 def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
@@ -202,23 +212,41 @@ def save_checkpoint(output_dir, epoch, state_tree, meta=None):
     :param state_tree: arbitrary pytree (train state: params, opt state, step...).
     :param meta (dict): json-able config / args snapshots.
     '''
+    import zlib
     os.makedirs(output_dir, exist_ok=True)
     payload = {'epoch': int(epoch), 'state': _to_numpy_tree(state_tree),
                'meta': meta or {}}
+    payload_bytes = pickle.dumps(payload, protocol=4)
+    envelope = {'format': _CKPT_FORMAT, 'version': _CKPT_VERSION,
+                'crc32': zlib.crc32(payload_bytes), 'payload': payload_bytes}
     for name in (f'model_{epoch}.pkl', 'checkpoint.pkl'):
         tmp = os.path.join(output_dir, name + '.tmp')
         with open(tmp, 'wb') as f:
-            pickle.dump(payload, f, protocol=4)
+            pickle.dump(envelope, f, protocol=4)
         os.replace(tmp, os.path.join(output_dir, name))
 
 
 def load_checkpoint(path, epoch=-1):
-    '''Accepts a file or a checkpoint directory (picks model_{epoch} or rolling).'''
+    '''Accepts a file or a checkpoint directory (picks model_{epoch} or rolling).
+    Verifies the envelope checksum; raises ValueError on corruption/truncation.'''
+    import zlib
     if os.path.isdir(path):
         name = f'model_{epoch}.pkl' if epoch >= 0 else 'checkpoint.pkl'
         path = os.path.join(path, name)
-    with open(path, 'rb') as f:
-        return pickle.load(f)
+    try:
+        with open(path, 'rb') as f:
+            obj = pickle.load(f)
+    except (EOFError, pickle.UnpicklingError) as e:
+        raise ValueError(f'Corrupt or truncated checkpoint {path}: {e}') from e
+    if isinstance(obj, dict) and obj.get('format') == _CKPT_FORMAT:
+        if obj['version'] > _CKPT_VERSION:
+            raise ValueError(f'Checkpoint {path} has schema version '
+                             f'{obj["version"]} > supported {_CKPT_VERSION}')
+        if zlib.crc32(obj['payload']) != obj['crc32']:
+            raise ValueError(f'Checkpoint {path} failed its integrity check '
+                             '(crc32 mismatch - corrupt file)')
+        return pickle.loads(obj['payload'])
+    return obj  # legacy bare-pickle layout.
 
 
 def resolve_resume_path(resume, checkpoint_root):

@@ -328,9 +328,15 @@ def perform_inference(pcl_input, pcl_input_sem, pcl_target_frame, engine, min_z,
 
     (pcl_abstract, features_global, implicit_output) = multi_track_merge(
         track_instance_ids, all_abstract, all_global, all_out, output_track_idx)
+    # After a real merge the mark column holds instance ids (-1 = undetected),
+    # not raw sigmoid scores; carry that as an explicit flag (ids can be 0 or 1,
+    # so downstream must never infer it from the value range).
+    mark_is_instance_id = not (len(track_instance_ids) == 1
+                               and track_instance_ids[0] == -1)
 
     result = dict(pcl_abstract=pcl_abstract, features_global=features_global,
-                  implicit_output=implicit_output, points_query=points_query)
+                  implicit_output=implicit_output, points_query=points_query,
+                  mark_is_instance_id=mark_is_instance_id)
 
     # 1-NN GT labels for offline metrics (inference.py:269-277; native host kernel
     # replaces sklearn KDTree).

@@ -58,11 +58,16 @@ def chamfer_distance(a_xyz, b_xyz):
 def frame_metrics(output_solid, output_air, target, data_kind='greater',
                   point_occupancy_radius=0.2, color_mode='rgb',
                   predict_segmentation=False, semantic_classes=13,
-                  track_threshold=0.5):
+                  track_threshold=0.5, mark_is_instance_id=False):
     '''
     :param output_solid (S, 5+C) array: (x, y, z, t, density, color..., mark, segm?).
     :param output_air (A, 5) compressed or (A, 5+C) uncompressed array.
     :param target (M, 9-11) array in the dataset layout.
+    :param mark_is_instance_id: True when the mark column holds merged instance
+        ids from multi_track_merge (track_mode='all'; detection = id >= 0) rather
+        than raw sigmoid scores. Must come from perform_inference's
+        `mark_is_instance_id` — ids can be 0 or 1, so it cannot be inferred from
+        the value range.
     :return dict of scalar metrics.
     '''
     cols = _TARGET_COLS[data_kind]
@@ -109,7 +114,7 @@ def frame_metrics(output_solid, output_air, target, data_kind='greater',
             gt_mark = nn_rows[:, cols['mark']]
             if (gt_mark >= 0.5).any():
                 pred_mark = tp_pts[:, mark_col]
-                if pred_mark.max() > 1.0:       # instance ids (multi_track_merge).
+                if mark_is_instance_id:         # merged ids (multi_track_merge).
                     det = pred_mark >= 0.0
                 else:                           # raw sigmoid detection score.
                     det = pred_mark >= track_threshold
@@ -122,9 +127,11 @@ def frame_metrics(output_solid, output_air, target, data_kind='greater',
 
 def evaluate_results(pcl_all_list, data_kind='greater', point_occupancy_radius=0.2,
                      color_mode='rgb', predict_segmentation=False,
-                     semantic_classes=13):
+                     semantic_classes=13, mark_is_instance_id=False):
     '''
     Aggregate frame_metrics over a list of test steps (see results.load_test_results).
+    :param mark_is_instance_id: set True iff the results were exported with
+        track_mode='all' (merged instance ids in the mark column).
     :return dict: mean of every metric over all (step, frame) pairs + counts.
     '''
     sums, counts = {}, {}
@@ -134,7 +141,8 @@ def evaluate_results(pcl_all_list, data_kind='greater', point_occupancy_radius=0
             (_, _, output_solid, target, output_air) = record[:5]
             m = frame_metrics(output_solid, output_air, target, data_kind,
                               point_occupancy_radius, color_mode,
-                              predict_segmentation, semantic_classes)
+                              predict_segmentation, semantic_classes,
+                              mark_is_instance_id=mark_is_instance_id)
             n_frames += 1
             for k, v in m.items():
                 if np.isfinite(v):
@@ -156,13 +164,17 @@ def main(argv=None):
     p.add_argument('--color_mode', default='rgb')
     p.add_argument('--semantic_classes', type=int, default=13)
     p.add_argument('--predict_segmentation', action='store_true')
+    p.add_argument('--track_merged', action='store_true',
+                   help='results were exported with track_mode=all (mark column '
+                        'holds merged instance ids, not sigmoid scores)')
     p.add_argument('--output', default='', help='optional json output path')
     args = p.parse_args(argv)
 
     results = load_test_results(args.input)
     metrics = evaluate_results(results, args.data_kind, args.point_occupancy_radius,
                                args.color_mode, args.predict_segmentation,
-                               args.semantic_classes)
+                               args.semantic_classes,
+                               mark_is_instance_id=args.track_merged)
     print(json.dumps(metrics, indent=2, sort_keys=True))
     if args.output:
         os.makedirs(os.path.dirname(args.output) or '.', exist_ok=True)

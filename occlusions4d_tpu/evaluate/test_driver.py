@@ -82,7 +82,8 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
                 m = frame_metrics(
                     inf['output_solid'], inf['output_air'], tgt_frame, data_kind,
                     args.point_occupancy_radius, args.color_mode,
-                    args.segmentation_lw > 0.0, args.semantic_classes)
+                    args.segmentation_lw > 0.0, args.semantic_classes,
+                    mark_is_instance_id=inf['mark_is_instance_id'])
                 m.update(step=cur_step, time_idx=time_idx)
                 all_metrics.append(m)
             if args.store_activations and 'penult_solid' in inf:
@@ -93,6 +94,12 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
                     'test', inf['implicit_output'], args.color_mode, time_idx,
                     args.segmentation_lw > 0.0, args.semantic_classes,
                     args.tracking_lw > 0.0, cur_step)
+                # Solid/air per-channel split (reference logvis.py:467-535; the
+                # eval air rows are compressed to (x, y, z, density, segm)).
+                logger.report_pcl_air_histograms(
+                    'test', inf['output_solid'], inf['output_air'],
+                    args.color_mode, time_idx, args.segmentation_lw > 0.0,
+                    args.semantic_classes, args.tracking_lw > 0.0, True, cur_step)
 
             record = (np.asarray(pcl_input), inf['pcl_abstract'],
                       inf['output_solid'], tgt_frame, inf['output_air'])

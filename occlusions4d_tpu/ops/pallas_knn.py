@@ -215,10 +215,14 @@ def _knn_spatial_scalar_kernel(q_ref, qn_ref, k_ref, kn_ref, bbox_ref,
     and each iteration's lower-bound test is pure scalar-unit work against an
     SMEM-resident scalar bound (refreshed by a vector reduce only inside the
     pl.when of an actually-processed block). Skipped blocks therefore cost a
-    handful of
-    scalar cycles instead of a bbox VMEM row load + a (T, 1) reduce, which
-    makes finer block granularity affordable (finer blocks prune ~1.6x more
-    candidate points at 57344-point scale; see PERFLOG round-3 notes).
+    handful of scalar cycles instead of a bbox VMEM row load + a (T, 1) reduce,
+    which is why scalar bounds win at the production block_k=2048 (31.0 vs
+    32.5 ms on the 57344^2 GREATER-like A/B). NOTE the finer-block hypothesis
+    this was built to enable is measured DEAD on hardware: bk 1024/512/256 run
+    36.3/54.7/101.2 ms even with scalar bounds - the extra per-PROCESSED-block
+    matmul + K-pass extraction overhead of more boundary blocks dwarfs the
+    pruning gain, so flat block_k=2048 + scalar bounds is the family optimum
+    (PERFLOG round-3 device A/B, Aug 19).
 
     Equivalence to _knn_spatial_kernel: the bound here is never stale - skipped
     blocks cannot change the accumulator, and every processed block refreshes

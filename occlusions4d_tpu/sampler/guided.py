@@ -263,14 +263,16 @@ class GuidedPointSampler:
         in_play = jnp.arange(n_cand) < n_active
         ok = in_play & (d > cfg.point_occupancy_radius)
         order = valid_first_order(ok)
-        return cand, order, jnp.maximum(jnp.sum(ok), 1)
+        return cand, order, jnp.sum(ok)
 
     def sample_air(self, key, tgt, valid, other_unique, other_unique_valid,
                    solid_input, time_idx):
         '''
         :param other_unique (M, E) + mask: dynamic points of the random other frame.
         :param solid_input (S, 4): jittered solid queries (hard-negative seeds).
-        :return (air_input (A, 4), air_target (A, 6), shares (4,)).
+        :return (air_input (A, 4), air_target (A, 6), shares (4,), air_ok scalar,
+                 pool_counts (4,) survivor counts per pool — the observability
+                 analogue of select_safely's insufficiency warning).
         '''
         cfg = self.cfg
         A = cfg.num_air
@@ -320,13 +322,27 @@ class GuidedPointSampler:
                              (n_reg.astype(jnp.float32) * reg_factor).astype(jnp.int32),
                              None, tgt_xyz, valid, blind_cuboid=blind)
 
-        # Assemble with per-pool cyclic duplication (select_safely semantics).
+        # Assemble with per-pool cyclic duplication (select_safely semantics,
+        # geometry.py:1095-1105). A pool whose every candidate was rejected must
+        # NOT emit rejected rows (points within r of solid targets labelled air —
+        # silent label noise); the reference's select_safely on an empty pool
+        # hard-fails and the step is skipped (train.py:87-94). Here a dry biased
+        # pool falls back to the regular blind pool's survivors, and if the
+        # regular pool itself is dry the frame is flagged not-ok so its loss
+        # weight is zeroed (the step-skip equivalent).
+        reg_cand, reg_order, reg_cnt = reg
+        air_ok = reg_cnt > 0
+        pool_counts = jnp.stack([mov[2], hsq[2], ht[2], reg_cnt])
         slots = jnp.arange(A, dtype=jnp.int32)
         cat = jnp.searchsorted(boundaries, slots, side='right').astype(jnp.int32)
         starts = jnp.concatenate([jnp.zeros(1, jnp.int32), boundaries])
         offset = slots - starts[cat]
         air = jnp.zeros((A, 3), jnp.float32)
         for c, (cand, order, cnt) in enumerate([mov, hsq, ht, reg]):
+            dry = cnt == 0
+            cand = jnp.where(dry, reg_cand, cand)
+            order = jnp.where(dry, reg_order, order)
+            cnt = jnp.maximum(jnp.where(dry, reg_cnt, cnt), 1)
             rows = cand[order[offset % cnt]]
             air = jnp.where((cat == c)[:, None], rows, air)
 
@@ -335,7 +351,7 @@ class GuidedPointSampler:
         # (density=0, R=G=B=-1, mark=-1, segm=-1), geometry.py:1084-1091.
         air_target = jnp.concatenate(
             [jnp.zeros((A, 1), jnp.float32), -jnp.ones((A, 5), jnp.float32)], axis=-1)
-        return air_input, air_target, shares
+        return air_input, air_target, shares, air_ok, pool_counts
 
     # --------------------------------------------------------------------- frame --
 
@@ -373,9 +389,11 @@ class GuidedPointSampler:
 
         solid_input, solid_target, solid_sbs, _ = self.sample_solid(
             k_solid, tgt, valid, tgt_unique, valo_ids, num_valo_ids, time_idx)
-        air_input, air_target, air_sbs = self.sample_air(
+        air_input, air_target, air_sbs, air_ok, air_pool_counts = self.sample_air(
             k_air, tgt, valid, other, other_unique, solid_input, time_idx)
+        ok = ok & air_ok
 
         return dict(solid_input=solid_input, air_input=air_input,
                     solid_target=solid_target, air_target=air_target,
-                    solid_sbs=solid_sbs, air_sbs=air_sbs, ok=ok)
+                    solid_sbs=solid_sbs, air_sbs=air_sbs, ok=ok,
+                    air_pool_counts=air_pool_counts)

@@ -457,6 +457,7 @@ class Trainer:
         self.logger.info(f'[{stage}] epoch {epoch} finished in '
                          f'{time.time() - start:.1f}s')
         timer.report(self.logger, prefix=f'[{stage}] ')
+        self.last_phase_timer = timer  # data/h2d/step split for callers (bench).
         return metrics_hist
 
     def _export_intermediates(self, epoch, stage, cur_step, dev_batch, host_images,
@@ -482,10 +483,18 @@ class Trainer:
 
         cfg = self.cfg
         for t in range(viz['implicit_output'].shape[1]):
+            io_t = viz['implicit_output'][:, t]
             self.logger.report_implicit_histograms(
-                stage, viz['implicit_output'][:, t], cfg.color_mode, t,
+                stage, io_t, cfg.color_mode, t,
                 cfg.segmentation_lw > 0.0, cfg.semantic_classes,
                 cfg.tracking_lw > 0.0, step=epoch)
+            # Predicted-solid vs predicted-air per-channel split at density
+            # logit 0 (reference logvis.py:391-397 val-stage reporting).
+            flat = io_t.reshape(-1, io_t.shape[-1])
+            self.logger.report_pcl_air_histograms(
+                stage, flat[flat[..., 0] >= 0.0], flat[flat[..., 0] < 0.0],
+                cfg.color_mode, t, cfg.segmentation_lw > 0.0,
+                cfg.semantic_classes, cfg.tracking_lw > 0.0, False, epoch)
         self.logger.report_histogram(f'{stage}/features_global',
                                      viz['features_global'], step=epoch)
         self.logger.report_filter_ratios(stage, meta_list, epoch)

@@ -260,3 +260,63 @@ class StepLogger(Logger):
         if predict_segmentation:
             self.report_histogram(f'{stage}/segm_t{time_idx}',
                                   io[..., -semantic_classes:], step=step)
+
+    def _feature_histograms(self, prefix, feats, color_mode, predict_segmentation,
+                            semantic_classes, predict_tracking, step):
+        '''Per-channel histograms of a (N, 5+) feature block
+        (density, color..., mark_track, segm?) — logvis.py:497-535 taxonomy.'''
+        if feats.shape[0] == 0:
+            return
+        self.report_histogram(f'{prefix}_dens', feats[..., 0], step=step)
+        if color_mode in ('rgb', 'rgb_nosigmoid'):
+            for i, ch in enumerate(('red', 'green', 'blue')):
+                self.report_histogram(f'{prefix}_{ch}', feats[..., 1 + i], step=step)
+            q = 3
+        elif color_mode == 'hsv':
+            self.report_histogram(f'{prefix}_clr_hue',
+                                  feats[..., 1:13].argmax(axis=-1), step=step)
+            self.report_histogram(f'{prefix}_clr_sat', feats[..., 13], step=step)
+            self.report_histogram(f'{prefix}_clr_val', feats[..., 14], step=step)
+            q = 14
+        elif color_mode == 'bins':
+            self.report_histogram(f'{prefix}_clr_bin',
+                                  feats[..., 1:10].argmax(axis=-1), step=step)
+            q = 9
+        else:
+            raise ValueError(color_mode)
+        if predict_tracking:
+            self.report_histogram(f'{prefix}_mark_track', feats[..., 1 + q], step=step)
+        if predict_segmentation:
+            self.report_histogram(f'{prefix}_segm',
+                                  feats[..., -semantic_classes:].argmax(axis=-1),
+                                  step=step)
+
+    def report_pcl_air_histograms(self, stage, pcl_output, air_output, color_mode,
+                                  time_idx, predict_segmentation, semantic_classes,
+                                  predict_tracking, has_xyzt, step):
+        '''
+        Per-channel histograms of the predicted-SOLID vs predicted-AIR split
+        (parity: MyLogger.report_pcl_air_histograms,
+        /root/reference/utils/logvis.py:467-535).
+        :param pcl_output (S, 5+) or (S, 4+5+) with leading (x, y, z, t) when
+            has_xyzt: solid-side rows (density, color..., mark_track, segm?).
+        :param air_output: air-side rows; may be compressed to
+            (A, 3+1[+1]) = (x, y, z, density[, pred_segm]) at eval, or None.
+        '''
+        pcl_output = np.asarray(pcl_output)
+        if has_xyzt:
+            self.report_histogram(f'{stage}/pcl_xyz', pcl_output[..., :3], step=step)
+            pcl_output = pcl_output[..., 4:]
+            if air_output is not None:
+                air_output = np.asarray(air_output)
+                self.report_histogram(f'{stage}/air_xyz', air_output[..., :3],
+                                      step=step)
+                air_output = air_output[..., 3:]
+        self._feature_histograms(f'{stage}/pcl', pcl_output, color_mode,
+                                 predict_segmentation, semantic_classes,
+                                 predict_tracking, step)
+        if air_output is not None:
+            air_output = np.asarray(air_output)
+            if air_output.shape[0]:  # air side: density only (logvis.py:499-501).
+                self.report_histogram(f'{stage}/air_dens', air_output[..., 0],
+                                      step=step)

@@ -129,3 +129,40 @@ def test_native_save_load_and_resume_resolution(tmp_path, small_models):
     assert loaded_e['epoch'] == 3
     # `--resume v7` resolves to the unique folder (args.py:20-36).
     assert ckpt.resolve_resume_path('v7', str(tmp_path / 'checkpoints')) == str(out_dir)
+
+
+def test_checkpoint_integrity_and_back_compat(tmp_path, small_models):
+    import pickle
+    import pytest
+    _, _, _, ev, _, _, _ = small_models
+    out_dir = tmp_path / 'ck'
+    ckpt.save_checkpoint(str(out_dir), 0, {'params': ev['params']}, meta={'v': 1})
+    fp = out_dir / 'checkpoint.pkl'
+
+    # Truncation fails fast with a clear error, not an opaque unpickle error.
+    data = fp.read_bytes()
+    fp.write_bytes(data[:len(data) // 2])
+    with pytest.raises(ValueError, match='[Cc]orrupt|integrity'):
+        ckpt.load_checkpoint(str(fp))
+
+    # A flipped payload byte fails the crc32 integrity check.
+    corrupt = bytearray(data)
+    corrupt[-100] ^= 0xFF
+    fp.write_bytes(bytes(corrupt))
+    with pytest.raises(ValueError, match='integrity|[Cc]orrupt'):
+        ckpt.load_checkpoint(str(fp))
+
+    # Legacy bare-pickle checkpoints (pre-envelope anchors) still load.
+    legacy = {'epoch': 7, 'state': {'x': 1}, 'meta': {}}
+    with open(fp, 'wb') as f:
+        pickle.dump(legacy, f, protocol=4)
+    assert ckpt.load_checkpoint(str(fp))['epoch'] == 7
+
+    # A future schema version is refused, not misread.
+    fp.write_bytes(data)
+    env = pickle.loads(data)
+    env['version'] = 99
+    with open(fp, 'wb') as f:
+        pickle.dump(env, f, protocol=4)
+    with pytest.raises(ValueError, match='schema version'):
+        ckpt.load_checkpoint(str(fp))

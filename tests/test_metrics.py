@@ -62,6 +62,25 @@ def test_frame_metrics_sane(rng):
     assert 'tracking_precision' in m
 
 
+def test_tracking_explicit_id_flag(rng):
+    '''A merged mark column whose only detected instance id is 0 (the GREATER
+    snitch) must still count as detections under mark_is_instance_id=True —
+    the old value-range heuristic (max > 1.0) misread this as sigmoid scores
+    and thresholded ids {0} at 0.5.'''
+    tgt = _make_target(rng)
+    tgt[:, 8] = (tgt[:, 3] == 1).astype(np.float32)
+    output_solid, output_air = _make_outputs(rng, tgt)
+    # Rewrite the mark column as merged ids: 0 where GT-marked, else -1.
+    gt_marked = output_solid[:, 8] >= 0.5
+    output_solid[:, 8] = np.where(gt_marked, 0.0, -1.0)
+    m_id = frame_metrics(output_solid, output_air, tgt, 'greater', 0.2, 'rgb',
+                         mark_is_instance_id=True)
+    assert m_id['tracking_recall'] > 0.9       # id 0 = detected.
+    m_score = frame_metrics(output_solid, output_air, tgt, 'greater', 0.2, 'rgb',
+                            mark_is_instance_id=False)
+    assert m_score['tracking_recall'] == 0.0   # same values read as scores < 0.5.
+
+
 def test_chamfer_identity(rng):
     pts = rng.rand(50, 3).astype(np.float32)
     assert chamfer_distance(pts, pts) < 1e-6
@@ -112,6 +131,24 @@ def test_logvis_savers(tmp_path, rng):
     assert os.path.exists(fp)
     fp = logger.save_video(rng.rand(4, 16, 16, 3), 'vid', fps=4)
     assert os.path.exists(fp)
+
+
+def test_report_pcl_air_histograms(tmp_path, rng):
+    '''Air-split per-channel histograms run for every color mode, xyzt on/off,
+    compressed air, and empty sides (reference logvis.py:467-535).'''
+    from occlusions4d_tpu.utils.logvis import StepLogger
+    logger = StepLogger(log_dir=str(tmp_path), context='t')
+    for color_mode, q in (('rgb', 3), ('hsv', 14), ('bins', 9)):
+        c = 1 + q + 1 + 13
+        solid = rng.rand(50, 4 + c).astype(np.float32)
+        air_c = rng.rand(30, 5).astype(np.float32)      # compressed eval air.
+        logger.report_pcl_air_histograms('test', solid, air_c, color_mode, 0,
+                                         True, 13, True, True, 0)
+        flat = rng.rand(40, c).astype(np.float32)       # train-time split.
+        logger.report_pcl_air_histograms('val', flat, flat[:0], color_mode, 1,
+                                         True, 13, True, False, 0)
+    logger.report_pcl_air_histograms('test', np.zeros((0, 9), np.float32), None,
+                                     'rgb', 0, False, 13, False, False, 0)
 
 
 def test_phase_timer():

@@ -329,3 +329,18 @@ def test_knn_spatial_scalar_bounds_bit_identical():
                                 scalar_bounds=True)
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    # B=2: the scalar kernel's batch indexing (bbox_ref[b_idx] SMEM row,
+    # tbox row b*n_tiles+t) is production-reachable now that scalar bounds
+    # are the default; pin it against the vector kernel AND brute force.
+    kk2 = np.stack([kk[0], kk[0][::-1] * 1.3 + 2.0])
+    q2 = np.stack([q[0], q[0][::-1] * 1.3 + 2.0])
+    d0, i0 = knn_pallas_spatial(jnp.asarray(q2), jnp.asarray(kk2), 6,
+                                block_k=256, scalar_bounds=False)
+    d1, i1 = knn_pallas_spatial(jnp.asarray(q2), jnp.asarray(kk2), 6,
+                                block_k=256, scalar_bounds=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    for b in range(2):
+        _, i_ref = _np_knn(q2[b], kk2[b], 6)
+        same = np.sort(np.asarray(i1)[b], 1) == np.sort(i_ref, 1)
+        assert same.mean() > 0.999  # near-tie swaps only.

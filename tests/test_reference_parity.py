@@ -232,6 +232,107 @@ def test_end_to_end_field_parity(ref):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_end_to_end_field_parity_levels2(ref, monkeypatch):
+    '''The chained encoder -> decoder parity at abstract_levels=2 (the cv1
+    flagship shape, README.md:41). The multi-level abstract cloud contains
+    bit-identical duplicate coordinates (the final FPS level is a subset of the
+    level-1 skip points, /root/reference/model/model.py:224-228), so the
+    decoder-side kNN gathers depend on tie-breaking among exact duplicates —
+    which torch.topk/argsort leave implementation-defined. The repo's kNN
+    paths all tie-break deterministically toward the lower key index
+    (lax.top_k / strict-insertion kernels), so the torch oracle here runs
+    through tie-stable kNN stubs with the same lowest-index rule (knn_host),
+    making the comparison well-defined without touching the reference math.'''
+
+    def _tie_stable_my_knn(pcl_query, pcl_key, num_neighbors, bidirectional=False,
+                           return_inds=False, return_knn=True, return_dists=False):
+        assert not bidirectional
+        d, idx = knn_host(pcl_query.detach().cpu().numpy(),
+                          pcl_key.detach().cpu().numpy(), num_neighbors)
+        idx_t = torch.from_numpy(idx.astype(np.int64))
+        result = ()
+        if return_inds:
+            result += (idx_t,)
+        if return_knn:
+            result += (pcl_key[idx_t],)
+        if return_dists:
+            result += (torch.from_numpy(d.astype(np.float32)),)
+        return result
+
+    def _tie_stable_kNN_torch(query, dataset, k):
+        out = []
+        for b in range(query.shape[0]):
+            _, idx = knn_host(query[b].detach().cpu().numpy(),
+                              dataset[b].detach().cpu().numpy(), k)
+            out.append(idx.astype(np.int64))
+        return torch.from_numpy(np.stack(out))
+
+    monkeypatch.setattr(ref.geometry, 'my_knn_torch', _tie_stable_my_knn)
+    monkeypatch.setattr(sys.modules['point_transformer_layer'], 'kNN_torch',
+                        _tie_stable_kNN_torch)
+
+    enc_over = dict(pt_norm_type='layer', abstract_levels=2)
+    tenc, jenc, enc_vars = _encoder_pair(ref, **enc_over)
+    dec_over = dict(d_latent_local=32, d_hidden=64, d_latent=64)
+    tdec, jdec, dec_vars = _decoder_pair(ref, **dec_over)
+
+    pcl = (RNG.rand(1, 512, 8) * 2.0 - 1.0).astype(np.float32)
+    queries, _, _ = _decoder_inputs()
+
+    with torch.no_grad():
+        t_abs, t_global, _ = tenc(torch.from_numpy(pcl), False)
+        t_out, _ = tdec(torch.from_numpy(queries), t_abs, t_global, None)
+    j_abs, j_global, _ = jenc.apply(enc_vars, jnp.asarray(pcl))
+    j_out, _ = jdec.apply(dec_vars, jnp.asarray(queries), j_abs, j_global)
+
+    # The multi-level cloud really does contain duplicate coordinates (the
+    # condition that made this test impossible without tie-stable kNN).
+    abs_np = np.asarray(j_abs)[0, :, :3]
+    uniq = np.unique(abs_np, axis=0)
+    assert uniq.shape[0] < abs_np.shape[0], 'fixture lost its duplicate coords'
+
+    np.testing.assert_allclose(np.asarray(j_abs), t_abs.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(),
+                               atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize('norm_type', ['none', 'layer'])
+def test_up_transition_forward_parity(ref, norm_type):
+    '''UpTransition (skip variant — the only live one, modules.py:190 asserts
+    skip_connections) matches the reference: mlp1(x1) trilinear-interpolated
+    onto p2 (knn_k inverse-distance weights, eps 1e-7,
+    /root/reference/utils/geometry.py:506-559) + mlp2(x2). Dead in shipped
+    configs (enable_decoder=False, train.py:223) but part of the public model
+    surface.'''
+    from occlusions4d_tpu.models import UpTransition as JUp
+    ref_modules = sys.modules['modules']
+    d_in, d_out, B, N1, N2 = 24, 16, 2, 40, 120
+    torch.manual_seed(21)
+    tnet = ref_modules.UpTransition(d_in, d_out, factor=3, knn_k=3,
+                                    skip_connections=True,
+                                    norm_type=norm_type).eval()
+    variables = checkpoint.import_torch_state_dict(tnet.state_dict(),
+                                                   net='encoder')
+    jnet = JUp(d_in=d_in, d_out=d_out, factor=3, knn_k=3, norm_type=norm_type,
+               dtype=jnp.float32)
+
+    x1 = RNG.randn(B, N1, d_in).astype(np.float32)
+    p1 = (RNG.rand(B, N1, 3) * 4.0 - 2.0).astype(np.float32)
+    x2 = RNG.randn(B, N2, d_out).astype(np.float32)
+    p2 = (RNG.rand(B, N2, 3) * 4.0 - 2.0).astype(np.float32)
+
+    with torch.no_grad():
+        t_y, t_p = tnet(torch.from_numpy(x1), torch.from_numpy(p1),
+                        torch.from_numpy(x2), torch.from_numpy(p2))
+    j_y, j_p = jnet.apply(variables, jnp.asarray(x1), jnp.asarray(p1),
+                          jnp.asarray(x2), jnp.asarray(p2))
+
+    np.testing.assert_allclose(np.asarray(j_y), t_y.numpy(), atol=1e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_p), t_p.numpy(), atol=0, rtol=0)
+
+
 # ------------------------------------------------------------------ loss parity --
 # The loss layer is the subtlest math in the objective (blandness gates, the
 # >= 16-point hue skip, /2 and /3 scalings, channel indexing); these tests feed

@@ -156,6 +156,72 @@ def test_sampler_jits_and_vmaps():
     assert bool(jnp.all(res['ok']))
 
 
+def test_dry_air_pool_falls_back_to_regular():
+    '''A biased air pool whose every candidate is rejected (dense scene) must NOT
+    emit rejected candidates as air labels (silent label noise within
+    point_occupancy_radius of solid targets); it falls back to the regular blind
+    pool's survivors. Mirrors the reference's hard-error + step-skip semantics
+    (/root/reference/utils/geometry.py:1095-1105, train.py:87-94).'''
+    rng = np.random.RandomState(11)
+    r = 0.5
+    m, m_cap = 1900, 2048
+    # Dense ball of radius 4r: shell candidates around interior targets land
+    # within r of another target with high probability, so the small hsq/ht
+    # pools (num_air=20 -> 6/4 slots, 12/8 candidates) occasionally go dry.
+    pts = np.zeros((m_cap, 9), np.float32)
+    v = rng.randn(m, 3)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    pts[:m, :3] = v * (rng.rand(m, 1) ** (1 / 3)) * 4 * r
+    pts[:m, 5:8] = rng.rand(m, 3)
+    valid = np.zeros(m_cap, bool)
+    valid[:m] = True
+    cfg = SamplerConfig(min_z=-5.0, cube_bounds=5.0, point_occupancy_radius=r,
+                        num_solid=32, num_air=20, data_kind='greater')
+    s = GuidedPointSampler(cfg)
+    tgt_j, valid_j = jnp.asarray(pts), jnp.asarray(valid)
+    run = jax.jit(lambda k: s.sample_frame(k, tgt_j, valid_j, tgt_j, valid_j,
+                                           jnp.zeros(32, jnp.int32),
+                                           jnp.asarray(0), 0))
+    txyz = pts[valid][:, :3]
+    dry_seen = False
+    for seed in range(60):
+        res = run(jax.random.PRNGKey(seed))
+        counts = np.asarray(res['air_pool_counts'])
+        assert bool(res['ok'])  # regular pool always survives (cuboid >> ball).
+        assert counts[3] > 0
+        dry_seen = dry_seen or counts[1] == 0 or counts[2] == 0
+        ai = np.asarray(res['air_input'])[:, :3]
+        d_air = np.linalg.norm(ai[:, None] - txyz[None], axis=-1).min(-1)
+        assert d_air.min() > r - 1e-6, f'seed {seed}: air point within r of target'
+    assert dry_seen, 'scene never produced a dry pool; test exercises nothing'
+
+
+def test_all_air_pools_dry_flags_frame_not_ok():
+    '''When even the regular blind pool has zero survivors (targets saturate the
+    whole query cuboid), the frame is flagged not-ok so its loss weight is
+    zeroed — the jittable equivalent of the reference skipping the step.'''
+    r = 0.5
+    # Grid covering the full GREATER blind cuboid [-1,1]^2 x [0,1] at spacing
+    # 0.25: every point of the cuboid is within 0.25*sqrt(3)/2 < r of a target.
+    g = np.arange(-1.0, 1.01, 0.25, dtype=np.float32)
+    gz = np.arange(0.0, 1.01, 0.25, dtype=np.float32)
+    xyz = np.stack(np.meshgrid(g, g, gz, indexing='ij'), -1).reshape(-1, 3)
+    m, m_cap = xyz.shape[0], 512
+    pts = np.zeros((m_cap, 9), np.float32)
+    pts[:m, :3] = xyz
+    pts[:m, 5:8] = 0.5
+    valid = np.zeros(m_cap, bool)
+    valid[:m] = True
+    cfg = SamplerConfig(min_z=0.0, cube_bounds=1.0, point_occupancy_radius=r,
+                        num_solid=64, num_air=64, data_kind='greater')
+    s = GuidedPointSampler(cfg)
+    res = s.sample_frame(jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(valid),
+                         jnp.asarray(pts), jnp.asarray(valid),
+                         jnp.zeros(32, jnp.int32), jnp.asarray(0), 0)
+    assert np.asarray(res['air_pool_counts'])[3] == 0
+    assert not bool(res['ok'])
+
+
 def test_low_bias_share_and_block():
     '''With 'low' bias and plenty of low points, first block draws z in [0, 2].'''
     rng = np.random.RandomState(6)
