@@ -106,22 +106,33 @@ def frame_metrics(output_solid, output_air, target, data_kind='greater',
                 out['segmentation_acc'] = float(
                     (pred_seg[valid] == gt_seg[valid]).mean())
 
-        # Tracking: after multi_track_merge the mark column holds instance ids
-        # (>= 0 detected); against a single-instance GT mark it is binary.
+        # Tracking. Score mode (track_mode none/one): the mark column is a raw
+        # sigmoid detection score for ONE marked instance; binary P/R against
+        # the GT mark column. Id mode (track_mode='all' + multi_track_merge):
+        # the column holds merged instance ids (-1 = undetected), so score
+        # multi-instance identity against the GT instance column — a detected
+        # point is correct iff its id matches its nearest target's instance.
         q = {'rgb': 3, 'rgb_nosigmoid': 3, 'hsv': 14, 'bins': 9}[color_mode]
         mark_col = 4 + 1 + q
         if solid.shape[1] > mark_col:
-            gt_mark = nn_rows[:, cols['mark']]
-            if (gt_mark >= 0.5).any():
-                pred_mark = tp_pts[:, mark_col]
-                if mark_is_instance_id:         # merged ids (multi_track_merge).
-                    det = pred_mark >= 0.0
-                else:                           # raw sigmoid detection score.
+            pred_mark = tp_pts[:, mark_col]
+            if mark_is_instance_id:
+                gt_inst = nn_rows[:, cols['inst']]
+                det = pred_mark >= 0.0
+                sup = gt_inst >= 0.0
+                correct = float((det & sup & (pred_mark == gt_inst)).sum())
+                if det.any() or sup.any():
+                    out['tracking_precision'] = correct / max(float(det.sum()),
+                                                              1.0)
+                    out['tracking_recall'] = correct / max(float(sup.sum()), 1.0)
+            else:
+                gt_mark = nn_rows[:, cols['mark']]
+                if (gt_mark >= 0.5).any():
                     det = pred_mark >= track_threshold
-                gt_pos = gt_mark >= 0.5
-                tpm = float((det & gt_pos).sum())
-                out['tracking_precision'] = tpm / max(float(det.sum()), 1.0)
-                out['tracking_recall'] = tpm / max(float(gt_pos.sum()), 1.0)
+                    gt_pos = gt_mark >= 0.5
+                    tpm = float((det & gt_pos).sum())
+                    out['tracking_precision'] = tpm / max(float(det.sum()), 1.0)
+                    out['tracking_recall'] = tpm / max(float(gt_pos.sum()), 1.0)
     return out
 
 

@@ -14,10 +14,20 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.pallas_attention import (fused_knn_interp,
-                                    fused_knn_vector_attention, knn_extract)
+                                    fused_knn_vector_attention, knn_extract,
+                                    knn_gather_rows)
 from .implicit import BASE_FREQUENCY, positional_encode
 
 __all__ = ['fused_field_apply', 'supports_fused']
+
+# Abstract-cloud size (keys) above which the decoder's three neighbor gathers
+# (interp + two attention layers; one-hot MXU matmuls of K*T*M*(E+3) MACs
+# each, re-run + scattered again in their backwards) are materialized ONCE by
+# knn_gather_rows and consumed from HBM. Below it the per-op gathers are
+# cheaper than the extra HBM round-trips (gv1's M=531 cloud); above it the
+# gather matmuls dominate the decoder (cv1/57k's M~2124). Module global so
+# step-level A/B sweeps can retune; numerics-identical either way.
+SHARED_GATHER_MIN_M = 1024
 
 
 def supports_fused(decoder):
@@ -72,12 +82,21 @@ def fused_field_apply(decoder, variables, points_query, pcl_abstract,
                 decoder.num_local_features)
     knn = knn_extract(q_xyz, pts_abs, k_ext, key_mask=abstract_mask)
 
+    # Above the SHARED_GATHER_MIN_M key-count threshold, gather the raw
+    # neighbor rows once and let every consumer (and its backward) read them
+    # instead of re-running the one-hot gather matmul (bit-identical floats;
+    # see knn_gather_rows).
+    gathered = None
+    if SHARED_GATHER_MIN_M and pts_abs.shape[1] >= SHARED_GATHER_MIN_M:
+        gathered = knn_gather_rows(pts_abs, feats_abs, knn, k_ext,
+                                   compute_dtype=compute_dtype)
+
     # Local feature interpolation (implicit.py:328-339 semantics), one fused
     # kNN + inverse-distance-weighting pass.
     features_local = fused_knn_interp(
         q_xyz, pts_abs, feats_abs, decoder.num_local_features,
         eps=1e-4, key_mask=abstract_mask, compute_dtype=compute_dtype,
-        knn=knn)
+        knn=knn, gathered=gathered)
     fg = jnp.broadcast_to(features_global[:, None, :],
                           (B, N, features_global.shape[-1]))
     features_query = jnp.concatenate([fg, features_local], axis=-1)
@@ -101,7 +120,7 @@ def fused_field_apply(decoder, variables, points_query, pcl_abstract,
             y = fused_knn_vector_attention(
                 q_proj, q_xyz, feats_abs, pts_abs, att,
                 decoder.cross_attn_neighbors, key_mask=abstract_mask,
-                compute_dtype=compute_dtype, knn=knn)
+                compute_dtype=compute_dtype, knn=knn, gathered=gathered)
             y = _dense(y, blk['layer3'])
             x = x + y
     penult = x

@@ -304,9 +304,17 @@ class GuidedPointSampler:
         blind = blind_sample_bounds(cfg.data_kind, cfg.cube_bounds, cfg.min_z,
                                     cfg.cube_mode)
         # moving: other-frame dynamic points + jitter <= 2r (geometry.py:986-1005).
-        mov = self._air_pool(keys[0], other_unique, other_unique_valid, C,
-                             (n_mov.astype(jnp.float32) * 1.6).astype(jnp.int32),
-                             (0.0, 2.0 * r), tgt_xyz, valid)
+        # Without the 'moving' bias token the share is STATICALLY zero (no
+        # slots can ever map to this pool), so skip its 1-NN rejection pass
+        # entirely - at the 57k scale that pass alone streams ~0.8G candidate
+        # pairs per frame for rows the assembly never reads.
+        if cfg.has('moving'):
+            mov = self._air_pool(keys[0], other_unique, other_unique_valid, C,
+                                 (n_mov.astype(jnp.float32) * 1.6).astype(jnp.int32),
+                                 (0.0, 2.0 * r), tgt_xyz, valid)
+        else:
+            mov = (jnp.zeros((C, 3), jnp.float32),
+                   jnp.arange(C, dtype=jnp.int32), jnp.zeros((), jnp.int32))
         # hard_solid_query: shells around solid queries (geometry.py:1009-1028).
         hsq = self._air_pool(keys[1], solid_input,
                              jnp.ones(solid_input.shape[0], bool), C,

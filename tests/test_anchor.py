@@ -26,7 +26,10 @@ _ASSET_ROOT = os.path.join(os.path.dirname(__file__), 'assets')
 # position).
 _FLOORS = dict(
     greater=dict(occupancy_f1=0.45, occupancy_precision=0.45,
-                 occupancy_recall=0.45, chamfer_max=0.5),
+                 occupancy_recall=0.45, chamfer_max=0.5,
+                 # track_mode=all reruns + multi_track_merge: the committed
+                 # anchor measures P 0.9995 / R 0.879 (trained tracking head).
+                 tracking_precision=0.90, tracking_recall=0.60),
     carla=dict(occupancy_f1=0.60, occupancy_precision=0.50,
                occupancy_recall=0.70, chamfer_max=1.0,
                segmentation_acc=0.70),
@@ -91,6 +94,9 @@ def test_anchor_model_learned(anchor_eval):
     assert mean['chamfer'] < floors['chamfer_max'], mean
     if 'segmentation_acc' in floors:
         assert mean['segmentation_acc'] > floors['segmentation_acc'], mean
+    if 'tracking_precision' in floors:
+        assert mean['tracking_precision'] > floors['tracking_precision'], mean
+        assert mean['tracking_recall'] > floors['tracking_recall'], mean
 
 
 def test_anchor_metrics_reproduce(anchor_eval):

@@ -63,22 +63,29 @@ def test_frame_metrics_sane(rng):
 
 
 def test_tracking_explicit_id_flag(rng):
-    '''A merged mark column whose only detected instance id is 0 (the GREATER
-    snitch) must still count as detections under mark_is_instance_id=True —
-    the old value-range heuristic (max > 1.0) misread this as sigmoid scores
-    and thresholded ids {0} at 0.5.'''
+    '''Id mode (mark_is_instance_id=True, track_mode='all' merges) scores
+    multi-instance identity against the GT instance column, and instance id 0
+    (the GREATER snitch) counts as a detection — the old value-range heuristic
+    (max > 1.0) misread an all-{0,-1} mark column as sigmoid scores. Score
+    mode on the same values reads them as scores < 0.5 (no detections).'''
     tgt = _make_target(rng)
-    tgt[:, 8] = (tgt[:, 3] == 1).astype(np.float32)
     output_solid, output_air = _make_outputs(rng, tgt)
-    # Rewrite the mark column as merged ids: 0 where GT-marked, else -1.
-    gt_marked = output_solid[:, 8] >= 0.5
-    output_solid[:, 8] = np.where(gt_marked, 0.0, -1.0)
+    # Recover each predicted point's source instance via 1-NN and write perfect
+    # merged ids for instance 0 only, -1 (undetected) elsewhere: the mark
+    # column then contains ONLY {0, -1}.
+    from occlusions4d_tpu.native import nn1_host
+    _, nn_idx = nn1_host(output_solid[:, :3], tgt[:, :3])
+    gt_inst = tgt[nn_idx, 3]
+    output_solid[:, 8] = np.where(gt_inst == 0, 0.0, -1.0)
     m_id = frame_metrics(output_solid, output_air, tgt, 'greater', 0.2, 'rgb',
                          mark_is_instance_id=True)
-    assert m_id['tracking_recall'] > 0.9       # id 0 = detected.
+    assert m_id['tracking_precision'] > 0.9    # detected id-0 points correct.
+    assert 0.05 < m_id['tracking_recall'] < 0.7  # instances 1, 2 undetected.
     m_score = frame_metrics(output_solid, output_air, tgt, 'greater', 0.2, 'rgb',
                             mark_is_instance_id=False)
-    assert m_score['tracking_recall'] == 0.0   # same values read as scores < 0.5.
+    # The same {0, -1} values read as sigmoid scores: nothing crosses 0.5.
+    assert m_score['tracking_precision'] == 0.0
+    assert m_score['tracking_recall'] == 0.0
 
 
 def test_chamfer_identity(rng):

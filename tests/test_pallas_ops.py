@@ -470,3 +470,123 @@ def test_knn_extract_shared_extraction_bit_identical(rng):
     gi0 = np.asarray(jax.grad(lambda f: loss_interp(f, False))(feats))
     gi1 = np.asarray(jax.grad(lambda f: loss_interp(f, True))(feats))
     np.testing.assert_array_equal(gi0, gi1)
+
+
+def test_shared_gather_bit_identical_fwd_and_grads(rng):
+    '''knn_gather_rows materializes the decoder's neighbor rows once; the
+    gathered=-consuming kernel variants must be BIT-identical on the forward
+    (the producer runs the exact one-hot gather the consumers ran in-kernel)
+    and match gradients up to the single-fused-scatter summation order
+    (weights and q_proj grads stay bitwise; the key-feature grads differ only
+    at f32-associativity level). Also pins fused_field_apply end-to-end across
+    the SHARED_GATHER_MIN_M threshold.'''
+    import jax
+    import jax.numpy as jnp
+    from occlusions4d_tpu.ops import pallas_attention as pa
+
+    B, N, M, E, D, P, H = 2, 300, 1100, 24, 32, 16, 64
+    k_attn, k_interp = 6, 4
+    q_pos = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    q_proj = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    pos2 = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+    feats2 = jnp.asarray(rng.randn(B, M, E).astype(np.float32))
+    mask = jnp.asarray(rng.rand(B, M) > 0.1)
+    w = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.1)
+    params = dict(
+        to_k=dict(kernel=w(E, D)), to_v=dict(kernel=w(E, D)),
+        pos_mlp_0=dict(kernel=w(3, P), bias=w(P)),
+        pos_mlp_2=dict(kernel=w(P, D), bias=w(D)),
+        attn_mlp_0=dict(kernel=w(D, H), bias=w(H)),
+        attn_mlp_2=dict(kernel=w(H, D), bias=w(D)))
+
+    k_ext = max(k_attn, k_interp)
+    knn = pa.knn_extract(q_pos, pos2, k_ext, key_mask=mask)
+    g = pa.knn_gather_rows(pos2, feats2, knn, k_ext)
+    assert g.shape[:2] == (B, k_ext) and g.shape[-1] == E + 3
+
+    # Forward bit-identity in raw-gather mode (premul would compute different,
+    # parity-level-equal floats; the shared path is raw by construction). The
+    # producer must be built at the consumers' compute dtype (the per-op path
+    # pre-casts its value matrix, so the gathered rows hold cd-rounded values).
+    premul0, pa.FORCE_PREMUL = pa.FORCE_PREMUL, False
+    try:
+        for cd in (jnp.float32, jnp.bfloat16):
+            g_cd = pa.knn_gather_rows(pos2, feats2, knn, k_ext,
+                                      compute_dtype=cd)
+            a0 = np.asarray(pa.fused_knn_vector_attention(
+                q_proj, q_pos, feats2, pos2, params, k_attn, key_mask=mask,
+                compute_dtype=cd, knn=knn))
+            a1 = np.asarray(pa.fused_knn_vector_attention(
+                q_proj, q_pos, feats2, pos2, params, k_attn, key_mask=mask,
+                compute_dtype=cd, knn=knn, gathered=g_cd))
+            np.testing.assert_array_equal(a0, a1)
+        i0 = np.asarray(pa.fused_knn_interp(q_pos, pos2, feats2, k_interp,
+                                            key_mask=mask, knn=knn))
+        i1 = np.asarray(pa.fused_knn_interp(q_pos, pos2, feats2, k_interp,
+                                            key_mask=mask, knn=knn, gathered=g))
+        np.testing.assert_array_equal(i0, i1)
+
+        # Gradients through a two-layer + interp composite (the fused decoder
+        # shape): one shared scatter vs three accumulated ones.
+        def loss(feats2, q_proj, params, shared):
+            knn = pa.knn_extract(q_pos, pos2, k_ext, key_mask=mask)
+            g = (pa.knn_gather_rows(pos2, feats2, knn, k_ext)
+                 if shared else None)
+            a = pa.fused_knn_vector_attention(
+                q_proj, q_pos, feats2, pos2, params, k_attn, key_mask=mask,
+                knn=knn, gathered=g)
+            b = pa.fused_knn_vector_attention(
+                a * 0.5 + q_proj, q_pos, feats2, pos2, params, k_attn,
+                key_mask=mask, knn=knn, gathered=g)
+            i = pa.fused_knn_interp(q_pos, pos2, feats2, k_interp,
+                                    key_mask=mask, knn=knn, gathered=g)
+            return jnp.sum(jnp.sin(b)) + jnp.sum(i * i)
+
+        g0 = jax.grad(loss, argnums=(0, 1, 2))(feats2, q_proj, params, False)
+        g1 = jax.grad(loss, argnums=(0, 1, 2))(feats2, q_proj, params, True)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-6, atol=1e-6)
+    finally:
+        pa.FORCE_PREMUL = premul0
+
+
+def test_fused_field_shared_gather_threshold(rng):
+    '''fused_field_apply output is invariant to SHARED_GATHER_MIN_M (the
+    shared-gather fast path is numerics-neutral end-to-end, gradients
+    included at tolerance).'''
+    import jax
+    import jax.numpy as jnp
+    from occlusions4d_tpu.models import fused
+    from occlusions4d_tpu.models.implicit import LocalImplicitField
+
+    decoder = LocalImplicitField(
+        d_in=4, d_hidden=48, d_out=5, d_latent=48, n_blocks=5,
+        pos_encoding_freqs=2, num_local_features=4, local_mode='attention',
+        d_latent_local=12, cross_attn_neighbors=6, cross_attn_layers=2,
+        cr_attn_type='cc')
+    B, N, M = 1, 200, 64
+    q = jnp.asarray(rng.rand(B, N, 4).astype(np.float32) * 2 - 1)
+    abstract = jnp.asarray(rng.rand(B, M, 3 + 12).astype(np.float32))
+    fg = jnp.asarray(rng.rand(B, 48).astype(np.float32))
+    variables = decoder.init(jax.random.PRNGKey(0), q, abstract, fg)
+
+    def run(min_m):
+        old, fused.SHARED_GATHER_MIN_M = fused.SHARED_GATHER_MIN_M, min_m
+        try:
+            def loss(v):
+                out, _ = fused.fused_field_apply(decoder, v, q, abstract, fg)
+                return jnp.sum(out ** 2)
+            l, grads = jax.value_and_grad(loss)(variables)
+            return l, grads
+        finally:
+            fused.SHARED_GATHER_MIN_M = old
+
+    l0, g0 = run(10 ** 9)   # per-op gathers.
+    l1, g1 = run(1)         # shared gather (M=64 is above threshold 1).
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)

@@ -59,9 +59,15 @@ ARCH_ARGV = [
 # of a deliberately tiny model instead - measured F1 0.41 there vs 0.55 here,
 # against a ~0.8 structural ceiling set by the 512-point target sparsity).
 EVAL_STAGE = 'train'
+# track_mode=all: one inference rerun per visible instance (>= 16 input pts)
+# merged via multi_track_merge, so the committed metrics.json also pins
+# tracking_precision/recall of a TRAINED model (the track-rerun encoder
+# determinism + merge semantics, /root/reference/eval/inference.py:146-169,
+# utils/utils.py:343-397).
 EVAL_ARGV = [
     '--num_sample', '131072', '--point_sample_mode', 'grid',
     '--density_threshold', '0.5', '--save_metrics', 'true',
+    '--track_mode', 'all',
     '--use_json', 'false', '--use_data_frac', '0.2',
     '--num_workers', '1', '--seed', '7',
 ]
