@@ -40,10 +40,21 @@ def _assets(name):
     return os.path.join(_ASSET_ROOT, name)
 
 
+# Steps (examples) to re-evaluate out of the committed full run. Eval cost on
+# the 1-core CPU suite host is linear in steps (each pays a full sampler +
+# encoder + dense-decode + metrics pass), and eval steps are independent with
+# per-(seed,epoch,index) RNG, so a prefix re-run reproduces the committed
+# per_frame prefix exactly; test_anchor_metrics_reproduce compares per-frame
+# (stronger than the old mean-vs-mean). The committed metrics.json still
+# carries the full 24-step run (tools/make_trained_anchor.py).
+_EVAL_STEPS = 3
+
+
 @pytest.fixture(scope='module', params=['greater', 'carla'])
 def anchor_eval(request, tmp_path_factory):
     '''Regenerate the anchor's synthetic scene (seed-deterministic) and re-run
-    the production eval driver on the committed checkpoint.'''
+    the production eval driver on the committed checkpoint (first _EVAL_STEPS
+    of the committed run).'''
     from occlusions4d_tpu.config import test_args as parse_test_args
     from occlusions4d_tpu.data import synthetic
     from occlusions4d_tpu.evaluate import test_driver
@@ -61,6 +72,8 @@ def anchor_eval(request, tmp_path_factory):
     # The committed metrics were computed on the scene the anchor OVERFIT
     # (the train stage); stage seeds differ (data/synthetic.py:158).
     eval_stage = gen.pop('eval_stage')
+    with open(os.path.join(assets, 'metrics.json')) as f:
+        committed = json.load(f)
 
     root = tmp_path_factory.mktemp(f'anchor_{dataset}')
     # Dataset kind is inferred from the path: keep 'carla' in the CARLA dir.
@@ -69,21 +82,27 @@ def anchor_eval(request, tmp_path_factory):
               else synthetic.make_greater_dataset)
     gen_fn(data, **dict(gen, stages=tuple(gen['stages'])))
 
+    # Shrink use_data_frac so dset_size = _EVAL_STEPS (frame selection is a
+    # deterministic prefix; +0.5 keeps int() truncation off the boundary).
+    committed_frac = float(eval_argv[eval_argv.index('--use_data_frac') + 1])
+    frac = committed_frac * (_EVAL_STEPS + 0.5) / len(committed['per_frame'])
+
     # --log_path X: config derives log_path=parent(X), test_tag=basename(X).
     targs = parse_test_args(eval_argv + [
         '--data_path', os.path.join(data, eval_stage), '--resume', assets,
+        '--use_data_frac', str(frac),
         '--log_path', str(root / 'logs' / 'anchor'),
     ])
     summary = test_driver.main(targs)
-    with open(os.path.join(assets, 'metrics.json')) as f:
-        committed = json.load(f)
+    assert len(summary['per_frame']) == _EVAL_STEPS
     return dataset, summary, committed
 
 
 def test_anchor_model_learned(anchor_eval):
     '''The committed checkpoint genuinely reconstructs the scene it overfit
-    (floors documented at _FLOORS; GREATER commits F1 0.546 vs the 0.06
-    all-solid baseline and ~0.8 structural ceiling).'''
+    (floors documented at _FLOORS, applied to the evaluated-prefix mean —
+    prefix means sit within ~0.01 of the full-run means; GREATER commits
+    F1 0.546 vs the 0.06 all-solid baseline and ~0.8 structural ceiling).'''
     dataset, summary, _ = anchor_eval
     floors = _FLOORS[dataset]
     mean = summary['mean']
@@ -102,10 +121,14 @@ def test_anchor_model_learned(anchor_eval):
 def test_anchor_metrics_reproduce(anchor_eval):
     '''Re-running the committed checkpoint through the current code reproduces
     the committed metrics.json — a tripwire for silent numeric drift anywhere
-    in encoder/decoder/sampling/eval. Tolerance covers backend/XLA-version
-    dot-product variation flipping a handful of near-threshold queries.'''
+    in encoder/decoder/sampling/eval. Per-frame prefix compare (eval steps are
+    independent, so the re-run prefix must match the committed run frame by
+    frame). Tolerance covers backend/XLA-version dot-product variation
+    flipping a handful of near-threshold queries.'''
     _, summary, committed = anchor_eval
-    for key, ref in committed['mean'].items():
-        got = summary['mean'][key]
-        assert abs(got - ref) <= max(0.02, 0.03 * abs(ref)), (key, got, ref)
-    assert len(summary['per_frame']) == len(committed['per_frame'])
+    assert len(committed['per_frame']) > len(summary['per_frame'])
+    for got_f, ref_f in zip(summary['per_frame'], committed['per_frame']):
+        for key, ref in ref_f.items():
+            got = got_f[key]
+            assert abs(got - ref) <= max(0.02, 0.03 * abs(ref)), \
+                (key, got, ref)

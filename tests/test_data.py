@@ -169,6 +169,33 @@ def test_factory_selects_by_path(greater_root, carla_root):
     assert batch2['pcl_target'].shape[-1] == 11
 
 
+def test_use_data_frac_scene_count_mode(greater_root, carla_root):
+    '''use_data_frac < 0 switches to absolute scene-count mode: keep the first
+    -frac scenes (sorted order), full virtual-epoch multiplier, and
+    deterministic (middle) frame starts
+    (/root/reference/data/data_greater.py:146-152, data_carla.py equivalent).'''
+    dset = GreaterDataset(greater_root, _logger(), stage='test', video_length=4,
+                          frame_skip=2, n_points_rnd=1024, n_fps_input=256,
+                          n_fps_target=-512, pcl_input_frames=4,
+                          pcl_target_frames=2, use_data_frac=-1,
+                          use_json=False, seed=0)
+    assert dset.num_scenes == 1 and len(dset.all_scenes) == 1
+    assert not dset.allow_random_frames
+    # 120 virtual test examples over 1 scene -> multiplier 120.
+    assert len(dset) == dset.multiplier == 120
+    # Deterministic frame start: the same index yields the same example.
+    a, b = dset[0], dset[0]
+    np.testing.assert_array_equal(a['pcl_input'], b['pcl_input'])
+
+    cset = CarlaDataset(carla_root, _logger(), stage='test', video_length=4,
+                        frame_skip=3, n_points_rnd=1024, n_fps_input=256,
+                        n_fps_target=-512, pcl_input_frames=4,
+                        pcl_target_frames=2, reference_frame=3, cube_mode=4,
+                        use_data_frac=-2, seed=0)
+    assert cset.num_scenes == 2 and not cset.allow_random_frames
+    assert len(cset) == 2 * cset.multiplier
+
+
 def test_greater_return_images_full_surface(greater_root):
     '''return_images yields the complete visualization-grade image dict: rgb, depth,
     flat (preflat instance hues), snitch mask stacks
