@@ -13,9 +13,15 @@ def accumulate_pcl_time(pcl):
     '''
     Point-cloud snapshots -> video with a trailing time feature in {0..T-1}
     (utils.py:14-43).
-    :param pcl: list-V of list-T of (N_t, D) numpy arrays (N may vary per frame).
-    :return list-V of (sum_T N_t, D+1) numpy arrays.
+    :param pcl: (V, T, N, D) numpy array, or list-V of list-T of (N_t, D)
+        numpy arrays (N may vary per frame).
+    :return (V, T*N, D+1) array, or list-V of (sum_T N_t, D+1) numpy arrays.
     '''
+    if isinstance(pcl, np.ndarray):
+        (V, T, N, D) = pcl.shape
+        tv = np.broadcast_to(np.arange(T, dtype=pcl.dtype)[None, :, None, None],
+                             (V, T, N, 1))
+        return np.concatenate([pcl, tv], axis=-1).reshape(V, T * N, D + 1)
     out = []
     for view in pcl:
         # Single preallocated fill (the concatenate chain copies every frame
@@ -36,9 +42,14 @@ def merge_pcl_views(pcl, insert_view_idx=False):
     '''
     Per-frame multi-view merge; optionally inserts the view index between the
     semantic columns and the trailing RGB triple (utils.py:64-101).
-    :param pcl: list-V of list-T of (N, D) numpy arrays.
-    :return list-T of (sum_V N_v, D[+1]) numpy arrays.
+    :param pcl: (V, T, N, D) numpy array, or list-V of list-T of (N, D)
+        numpy arrays.
+    :return (T, V*N, D) array, or list-T of (sum_V N_v, D[+1]) numpy arrays.
     '''
+    if isinstance(pcl, np.ndarray):
+        assert not insert_view_idx
+        (V, T, N, D) = pcl.shape
+        return pcl.transpose(1, 0, 2, 3).reshape(T, V * N, D)
     V, T = len(pcl), len(pcl[0])
     out = []
     for t in range(T):
