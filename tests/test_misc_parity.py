@@ -137,6 +137,38 @@ def test_multi_track_merge_parity(ref_utils, num_tracks):
             np.testing.assert_array_equal(g, r)
 
 
+@pytest.mark.parametrize('last_minus', [0, 1])
+def test_merge_steps_into_long_parity(ref_utils, last_minus):
+    '''Long-video stitch (evaluate/results.merge_steps_into_long) vs the
+    reference's merge_pcl_all_steps_into_long on identical exported records.'''
+    from occlusions4d_tpu.evaluate.results import merge_steps_into_long
+
+    def make_list():
+        steps = []
+        for _ in range(3):                             # To = 3 test steps.
+            frames = []
+            for _ in range(2):                         # Ti = 2 output frames.
+                inp = RNG.rand(40, 8).astype(np.float32)
+                inp[:, -2] = np.tile(np.arange(4, dtype=np.float32), 10)
+                frames.append((inp, RNG.rand(6, 9).astype(np.float32),
+                               RNG.rand(12, 9).astype(np.float32),
+                               RNG.rand(12, 9).astype(np.float32),
+                               RNG.rand(7, 5).astype(np.float32)))
+            steps.append(frames)
+        return steps
+
+    state = RNG.get_state()
+    lst = make_list()
+    RNG.set_state(state)
+    lst2 = make_list()
+    got = merge_steps_into_long(lst, last_minus=last_minus)
+    ref = ref_utils.merge_pcl_all_steps_into_long(lst2, last_minus=last_minus)
+    assert len(got) == len(ref) == 3
+    for g_rec, r_rec in zip(got, ref):
+        for g, r in zip(g_rec, r_rec):
+            np.testing.assert_array_equal(g, r)
+
+
 def test_multi_track_merge_none_abstract_parity(ref_utils):
     ids, _, globals_, outs = _rerun_fixture(3)
     got = misc.multi_track_merge(ids, [None] * 3, [g.copy() for g in globals_],
