@@ -150,6 +150,13 @@ class TrainConfig(SharedConfig):
     # /root/reference/pipeline.py:17,113, /root/reference/loss.py:12. Forces
     # the XLA (non-fused, non-remat) paths; debug-only, adds overhead.
     check_numerics: bool = False
+    # Capture an XLA device trace (TensorBoard profile plugin / Perfetto) of
+    # this many early train steps of epoch 0 — step 0 (the compile step) is
+    # excluded — written to <log_path>/profile. 0 = off. The reference has no
+    # tracing at all (an unused torch profiler import,
+    # /root/reference/model/implicit.py:13); utils/profiling.device_trace is
+    # the library surface and this flag is its CLI wiring.
+    profile_steps: int = 0
     tag: str = ''
 
 

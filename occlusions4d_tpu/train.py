@@ -356,6 +356,13 @@ class Trainer:
         data_iter = iter(data_iter)
         cur_step = -1
         prev_guard = None  # (grads_finite, params_finite) of the last train step.
+        # --profile_steps: device-trace steps [1, 1+N) of epoch 0 (step 0 pays
+        # the compile and would drown the trace).
+        prof_until = (1 + self.cfg.profile_steps
+                      if (is_train and epoch == 0 and self.logger.log_dir
+                          and getattr(self.cfg, 'profile_steps', 0) > 0)
+                      else None)
+        prof_active = False
 
         def check_guard():
             '''Materialize and act on the pending step's guard flags.'''
@@ -372,8 +379,27 @@ class Trainer:
                 self.logger.error('NaN/Inf gradient detected! Step skipped.')
             if not p_fin:
                 raise RuntimeError('NaN model parameter detected!')
+        def _prof_stop():
+            nonlocal prof_active
+            if prof_active:
+                jax.profiler.stop_trace()
+                prof_active = False
+                self.logger.info('Device trace written to '
+                                 f'{os.path.join(self.logger.log_dir, "profile")}')
+
         while True:
             cur_step += 1
+            if prof_until is not None:
+                if prof_active and cur_step >= prof_until:
+                    _prof_stop()
+                elif not prof_active and cur_step == 1:
+                    try:
+                        jax.profiler.start_trace(
+                            os.path.join(self.logger.log_dir, 'profile'))
+                        prof_active = True
+                    except Exception as e:  # backend without profiler support.
+                        self.logger.warning(f'device trace unavailable: {e}')
+                        prof_until = None
             if num_steps is not None and cur_step >= num_steps:
                 break
             with timer.phase('data'):
@@ -453,6 +479,7 @@ class Trainer:
                                 remember=True, commit_histogram=True)
                 metrics_hist.append(m)
 
+        _prof_stop()   # epoch shorter than profile_steps: close the trace.
         check_guard()  # trailing-edge guard for the final step.
         self.logger.info(f'[{stage}] epoch {epoch} finished in '
                          f'{time.time() - start:.1f}s')

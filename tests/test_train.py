@@ -185,7 +185,8 @@ def test_training_observability_exports(greater_root, tmp_path):
     (/root/reference/utils/logvis.py:300-417, pipeline.py:92-94).'''
     import os
     from occlusions4d_tpu.utils.logvis import StepLogger
-    cfg = _tiny_cfg(greater_root, export_visuals=True, viz_interval=2)
+    cfg = _tiny_cfg(greater_root, export_visuals=True, viz_interval=2,
+                    profile_steps=1)
     logger = StepLogger(log_dir=str(tmp_path), context='train',
                         batch_size=cfg.batch_size)
     kind, train_loader, _, _ = create_train_val_loaders(cfg, logger)
@@ -194,6 +195,11 @@ def test_training_observability_exports(greater_root, tmp_path):
     assert 'rgb' in batches[0] and 'snitch' in batches[0]  # export_visuals plumbed.
     trainer.init_state(batches[0], steps_per_epoch=2)
     trainer.run_epoch(0, 'train', iter(batches), num_steps=2)
+
+    # --profile_steps wiring: step 1 of epoch 0 leaves an XLA device trace
+    # under <log_dir>/profile (utils/profiling.device_trace CLI surface).
+    prof = tmp_path / 'profile'
+    assert prof.is_dir() and any(prof.rglob('*')), 'empty device trace'
 
     npys = os.listdir(tmp_path / 'numpy')
     for name in ('pcl_input', 'pcl_abstract', 'pcl_target', 'implicit_output',
