@@ -14,6 +14,32 @@ import jax.numpy as jnp
 
 __all__ = ['take_valid', 'masked_choice', 'valid_first_order']
 
+# masked_choice searchsorted lowering crossover (see the in-function note):
+# 'sort' wins the full train step at gv1's cdf length (28672), 'scan' wins at
+# the 57k scale-out's (114688). 2^15 splits the two measured regimes.
+_SEARCHSORTED_SORT_MAX_N = 32768
+
+# Experiment override for the masked_choice searchsorted lowering:
+# 'auto' = the measured gate below; 'sort'/'scan' force one jnp lowering;
+# 'unrolled' = the branchless statically-unrolled binary search.
+SEARCHSORTED_MODE = 'auto'
+
+
+def _searchsorted_unrolled(cdf, u):
+    '''searchsorted(cdf, u, side='right') as a statically-unrolled branchless
+    binary search: log2(N) dependent gather+select steps with no XLA while
+    loop (each `scan`-method while iteration costs ~0.7 ms of control-flow
+    overhead through this backend) and no O(N log N) co-sort.'''
+    import numpy as np
+    n = cdf.shape[0]
+    nbits = max(1, n.bit_length())  # answers live in [0, n]
+    pos = jnp.zeros(u.shape, jnp.int32)
+    for step in (1 << np.arange(nbits - 1, -1, -1)).astype(np.int32):
+        cand = pos + jnp.int32(step)
+        val = cdf[jnp.minimum(cand, n) - 1]
+        pos = jnp.where((cand <= n) & (val <= u), cand, pos)
+    return pos
+
 
 def valid_first_order(valid):
     '''
@@ -60,5 +86,23 @@ def masked_choice(key, valid, n_draw, weights=None):
     ok = total > 0
     cdf = jnp.cumsum(w)
     u = jax.random.uniform(key, (n_draw,), minval=0.0, maxval=1.0) * jnp.maximum(total, 1e-30)
-    idx = jnp.searchsorted(cdf, u, side='right').astype(jnp.int32)
+    # Lowering policy (measured, PERFLOG round 4): the default 'scan' lowers
+    # to a log2(N)-iteration XLA while loop of gathers whose per-iteration
+    # overhead dominates at gv1's pool shapes (the step trace showed the
+    # sampler's whiles costing ~24 ms/step); 'sort' co-sorts [cdf, u] once.
+    # FULL-STEP A/B: 'sort' wins at gv1 (249.5 -> 245.2 ms, cdf 28672) but
+    # LOSES at the 57k scale (450.7 -> 480.1, cdf 114688) even though the
+    # isolated op is faster there too (5.31 -> 3.49 ms chained) - in the real
+    # graph the big co-sort evidently blocks overlap the whiles allowed. Gate
+    # by the static cdf length.
+    if SEARCHSORTED_MODE == 'unrolled':
+        idx = _searchsorted_unrolled(cdf, u)
+    else:
+        if SEARCHSORTED_MODE == 'auto':
+            method = ('sort' if valid.shape[0] <= _SEARCHSORTED_SORT_MAX_N
+                      else 'scan')
+        else:
+            method = SEARCHSORTED_MODE
+        idx = jnp.searchsorted(cdf, u, side='right',
+                               method=method).astype(jnp.int32)
     return jnp.minimum(idx, valid.shape[0] - 1), ok
