@@ -84,7 +84,15 @@ def masked_choice(key, valid, n_draw, weights=None):
     w = jnp.where(valid, 1.0 if weights is None else weights, 0.0).astype(jnp.float32)
     total = jnp.sum(w)
     ok = total > 0
-    cdf = jnp.cumsum(w)
+    # XLA lowers cumsum as a tree scan, so with f32 rounding the cdf of
+    # non-negative weights is NOT guaranteed monotone (measured: 1-ulp local
+    # dips at ~40k elements) — which violates searchsorted's sorted-input
+    # contract, makes the 'scan'/'sort'/'unrolled' lowerings disagree on
+    # boundary draws, and in the worst case can return a zero-weight (masked
+    # out) index. A running max restores monotonicity (identity everywhere
+    # except ulp-level dips) and makes all three lowerings bit-identical:
+    # each is then exactly count(cdf <= u).
+    cdf = jax.lax.cummax(jnp.cumsum(w))
     u = jax.random.uniform(key, (n_draw,), minval=0.0, maxval=1.0) * jnp.maximum(total, 1e-30)
     # Lowering policy (measured, PERFLOG round 4): the default 'scan' lowers
     # to a log2(N)-iteration XLA while loop of gathers whose per-iteration

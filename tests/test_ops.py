@@ -195,6 +195,43 @@ def test_masked_choice_weighted():
     assert abs(frac1 - 0.5) < 0.03
 
 
+@pytest.mark.parametrize('n', [1000, 40000])  # straddles the 32768 'auto' gate.
+def test_masked_choice_lowerings_bit_identical(n, monkeypatch):
+    '''The three searchsorted lowerings ('scan', 'sort', 'unrolled') plus the
+    length-gated 'auto' must draw bit-identical indices: the gate is a pure
+    performance policy (PERFLOG round 4) and must never shift the RNG-visible
+    sample stream. Also semantically pinned against numpy searchsorted fed the
+    device-computed cdf/u (a fully-host cdf oracle differs on boundary draws
+    from f32 cumsum accumulation order).'''
+    from occlusions4d_tpu.ops import select as select_mod
+    rng = np.random.RandomState(3)
+    valid = rng.rand(n) > 0.4
+    weights = rng.rand(n).astype(np.float32) + 0.1
+    key = jax.random.PRNGKey(4)
+    n_draw = 4096
+
+    draws = {}
+    for mode in ('auto', 'scan', 'sort', 'unrolled'):
+        monkeypatch.setattr(select_mod, 'SEARCHSORTED_MODE', mode)
+        idx, ok = ops.masked_choice(key, jnp.asarray(valid), n_draw,
+                                    weights=jnp.asarray(weights))
+        assert bool(ok)
+        draws[mode] = np.asarray(idx)
+    for mode in ('scan', 'sort', 'unrolled'):
+        np.testing.assert_array_equal(draws['auto'], draws[mode], err_msg=mode)
+
+    # Semantic oracle on the device-computed cdf and uniforms.
+    w = jnp.where(jnp.asarray(valid), jnp.asarray(weights), 0.0)
+    cdf = np.asarray(jnp.cumsum(w))
+    # total via jnp.sum exactly as masked_choice computes it (pairwise
+    # accumulation differs from cumsum's last element in f32).
+    u = np.asarray(jax.random.uniform(key, (n_draw,))
+                   * jnp.maximum(jnp.sum(w), 1e-30))
+    expect = np.minimum(np.searchsorted(cdf, u, side='right'), n - 1)
+    np.testing.assert_array_equal(draws['auto'], expect)
+    assert valid[draws['auto']].all()
+
+
 def test_knn_interpolate_exact_at_source():
     rng = np.random.RandomState(8)
     pts = rng.randn(50, 3).astype(np.float32)
