@@ -28,7 +28,7 @@ from flax import traverse_util
 
 __all__ = ['torch_key_to_flax', 'import_torch_state_dict', 'export_torch_state_dict',
            'load_reference_checkpoint', 'save_checkpoint', 'load_checkpoint',
-           'resolve_resume_path']
+           'resolve_resume_path', 'wait_for_async_saves']
 
 
 def _merge_numeric(parts):
@@ -207,13 +207,22 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(output_dir, epoch, state_tree, meta=None):
+def save_checkpoint(output_dir, epoch, state_tree, meta=None, format='pkl'):
     '''
     :param state_tree: arbitrary pytree (train state: params, opt state, step...).
     :param meta (dict): json-able config / args snapshots.
+    :param format: 'pkl' (envelope pickle, default) or 'orbax' (async orbax
+        array store + a small envelope-pickle side file for meta/treedef;
+        SURVEY section 7 step 6). Orbax saves return once the arrays are
+        snapshotted and write the directory in a background thread (atomic
+        tmp-dir rename on completion) so training never blocks on storage;
+        call wait_for_async_saves() before process exit / immediate reload.
     '''
     import zlib
     os.makedirs(output_dir, exist_ok=True)
+    if format == 'orbax':
+        return _save_orbax(output_dir, epoch, state_tree, meta)
+    assert format == 'pkl', format
     payload = {'epoch': int(epoch), 'state': _to_numpy_tree(state_tree),
                'meta': meta or {}}
     payload_bytes = pickle.dumps(payload, protocol=4)
@@ -226,12 +235,115 @@ def save_checkpoint(output_dir, epoch, state_tree, meta=None):
         os.replace(tmp, os.path.join(output_dir, name))
 
 
+# --------------------------------------------------------------------- orbax --
+# Orbax backend layout under output_dir:
+#   model_{e}.orbax/           finalized orbax array store (flat, path-keyed
+#                              leaves; atomic rename => presence == complete)
+#   model_{e}.orbax.meta.pkl   envelope pickle: epoch, meta, pickled treedef +
+#                              leaf key order (exact pytree reconstruction,
+#                              including optax namedtuple state classes)
+# There is no rolling pointer file: "latest" is the max epoch whose array dir
+# AND side file both exist, which is async-safe (the dir appears atomically
+# only when the background write finalizes).
+
+_ORBAX_CKPTR = None
+
+
+def _orbax_checkpointer():
+    global _ORBAX_CKPTR
+    if _ORBAX_CKPTR is None:
+        import atexit
+        import orbax.checkpoint as ocp
+        _ORBAX_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        atexit.register(_ORBAX_CKPTR.close)  # close waits for in-flight saves.
+    return _ORBAX_CKPTR
+
+
+def wait_for_async_saves():
+    '''Block until every dispatched orbax save has finalized (no-op if none).'''
+    if _ORBAX_CKPTR is not None:
+        _ORBAX_CKPTR.wait_until_finished()
+
+
+def _flatten_state(state_tree):
+    '''state pytree -> (flat {readable_path: leaf}, treedef, ordered keys).'''
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(state_tree)
+    keys, leaves = [], []
+    for path, leaf in leaves_with_path:
+        k = jax.tree_util.keystr(path).strip('[].').replace("'", '')
+        # keystr is unique per leaf but may contain '/'-unfriendly chars; orbax
+        # keys are single-level dict names so any string is fine.
+        keys.append(k)
+        leaves.append(leaf)
+    assert len(set(keys)) == len(keys), 'non-unique leaf paths'
+    return dict(zip(keys, leaves)), treedef, keys
+
+
+def _save_orbax(output_dir, epoch, state_tree, meta):
+    import zlib
+    import orbax.checkpoint as ocp
+    flat, treedef, keys = _flatten_state(_to_numpy_tree(state_tree))
+    side = {'epoch': int(epoch), 'meta': meta or {},
+            'treedef': pickle.dumps(treedef, protocol=4), 'leaf_keys': keys}
+    side_bytes = pickle.dumps(side, protocol=4)
+    envelope = {'format': _CKPT_FORMAT, 'version': _CKPT_VERSION,
+                'crc32': zlib.crc32(side_bytes), 'payload': side_bytes}
+    side_tmp = os.path.join(output_dir, f'model_{epoch}.orbax.meta.pkl.tmp')
+    with open(side_tmp, 'wb') as f:
+        pickle.dump(envelope, f, protocol=4)
+    os.replace(side_tmp, os.path.join(output_dir, f'model_{epoch}.orbax.meta.pkl'))
+
+    ckptr = _orbax_checkpointer()
+    ckptr.wait_until_finished()  # one in-flight save at a time.
+    path = os.path.abspath(os.path.join(output_dir, f'model_{epoch}.orbax'))
+    if os.path.exists(path):  # re-save of the same epoch (e.g. resumed run).
+        import shutil
+        shutil.rmtree(path)
+    ckptr.save(path, args=ocp.args.StandardSave(flat))
+
+
+def _orbax_epochs(dirpath):
+    out = []
+    for name in os.listdir(dirpath):
+        if name.startswith('model_') and name.endswith('.orbax'):
+            stem = name[len('model_'):-len('.orbax')]
+            if (stem.isdigit() and os.path.isdir(os.path.join(dirpath, name))
+                    and os.path.isfile(os.path.join(dirpath, name + '.meta.pkl'))):
+                out.append(int(stem))
+    return sorted(out)
+
+
+def _load_orbax(dirpath, epoch):
+    import orbax.checkpoint as ocp
+    wait_for_async_saves()
+    if epoch < 0:
+        epochs = _orbax_epochs(dirpath)
+        if not epochs:
+            raise FileNotFoundError(f'No finalized orbax checkpoint in {dirpath}')
+        epoch = epochs[-1]
+    side = load_checkpoint(os.path.join(dirpath, f'model_{epoch}.orbax.meta.pkl'))
+    ckptr = _orbax_checkpointer()
+    flat = ckptr.restore(os.path.join(dirpath, f'model_{epoch}.orbax'),
+                         args=ocp.args.StandardRestore())
+    treedef = pickle.loads(side['treedef'])
+    state = jax.tree_util.tree_unflatten(
+        treedef, [flat[k] for k in side['leaf_keys']])
+    return {'epoch': side['epoch'], 'state': state, 'meta': side['meta']}
+
+
 def load_checkpoint(path, epoch=-1):
-    '''Accepts a file or a checkpoint directory (picks model_{epoch} or rolling).
+    '''Accepts a file or a checkpoint directory (picks model_{epoch} or rolling;
+    format auto-detected: pkl files, or the orbax layout when no pkl exists).
     Verifies the envelope checksum; raises ValueError on corruption/truncation.'''
     import zlib
     if os.path.isdir(path):
+        if path.rstrip('/').endswith('.orbax'):  # direct orbax array dir.
+            d = os.path.dirname(os.path.abspath(path.rstrip('/')))
+            e = int(os.path.basename(path.rstrip('/'))[len('model_'):-len('.orbax')])
+            return _load_orbax(d, e)
         name = f'model_{epoch}.pkl' if epoch >= 0 else 'checkpoint.pkl'
+        if not os.path.isfile(os.path.join(path, name)) and _orbax_epochs(path):
+            return _load_orbax(path, epoch)
         path = os.path.join(path, name)
     try:
         with open(path, 'rb') as f:

@@ -48,6 +48,10 @@ class SharedConfig:
     log_root: str = 'logs/'
     resume: str = ''
     checkpoint_root: str = 'checkpoints/'
+    # Native checkpoint backend: 'pkl' (single-file envelope pickle) or
+    # 'orbax' (async array store — saves overlap training; SURVEY §7 step 6).
+    # Both resume interchangeably (load auto-detects the on-disk layout).
+    checkpoint_format: str = 'pkl'
 
     # Data (args.py:71-84).
     use_data_frac: float = 1.0
@@ -215,6 +219,7 @@ def verify_args(args, is_train=False):
     '''Validation mirroring /root/reference/args.py:87-114.'''
     assert args.device in ('tpu', 'cpu', 'cuda')
     assert args.worker_mode in ('thread', 'process')
+    assert getattr(args, 'checkpoint_format', 'pkl') in ('pkl', 'orbax')
     assert args.sample_bias in ('none', 'move', 'occl', 'move_occl', 'occl_move')
 
     if args.num_workers < 0:
@@ -272,8 +277,12 @@ def train_args(argv=None):
 
     if args.resume and not (os.path.exists(args.resume) and os.path.isfile(args.resume)):
         from .checkpoint import resolve_resume_path
-        args.resume = os.path.join(
-            resolve_resume_path(args.resume, args.checkpoint_root), 'checkpoint.pkl')
+        resolved = resolve_resume_path(args.resume, args.checkpoint_root)
+        rolling = os.path.join(resolved, 'checkpoint.pkl')
+        # pkl layout resumes through the rolling file; the orbax layout has no
+        # rolling file — resume from the directory (load auto-picks the latest
+        # finalized epoch).
+        args.resume = rolling if os.path.isfile(rolling) else resolved
     return args
 
 

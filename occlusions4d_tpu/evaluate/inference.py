@@ -51,12 +51,17 @@ def load_models(checkpoint_path, epoch=-1, logger=None, dtype=jnp.float32):
                  decoder_args, train_config, dset_args, data_kind, epoch).
     '''
     print_fn = logger.info if logger is not None else print
-    if os.path.isdir(checkpoint_path):
+    if os.path.isdir(checkpoint_path) and not checkpoint_path.rstrip('/').endswith('.orbax'):
         cand_pkl = os.path.join(checkpoint_path,
                                 f'model_{epoch}.pkl' if epoch >= 0 else 'checkpoint.pkl')
         cand_pth = os.path.join(checkpoint_path,
                                 f'model_{epoch}.pth' if epoch >= 0 else 'checkpoint.pth')
-        checkpoint_path = cand_pkl if os.path.exists(cand_pkl) else cand_pth
+        if os.path.exists(cand_pkl):
+            checkpoint_path = cand_pkl
+        elif ckpt_lib._orbax_epochs(checkpoint_path):
+            pass  # orbax layout: load_checkpoint takes the directory + epoch.
+        else:
+            checkpoint_path = cand_pth
     print_fn(f'Loading weights from: {checkpoint_path}')
 
     if checkpoint_path.endswith('.pth'):

@@ -338,7 +338,8 @@ class Trainer:
         meta = dict(config=vars(self.cfg), encoder_args=self.encoder_args,
                     decoder_args=self.decoder_args, sampler_args=self.sampler_args,
                     data_kind=self.data_kind)
-        ckpt_lib.save_checkpoint(self.cfg.output_path, epoch, self.state, meta=meta)
+        ckpt_lib.save_checkpoint(self.cfg.output_path, epoch, self.state, meta=meta,
+                                 format=getattr(self.cfg, 'checkpoint_format', 'pkl'))
 
     # ------------------------------------------------------------------- loops --
 
@@ -576,6 +577,7 @@ def main(cfg: TrainConfig, logger=None):
     trainer.fit(lambda e: train_loader.epoch(e),
                 (lambda e: val_loader.epoch(e)) if val_loader else None,
                 steps_per_epoch=steps_per_epoch)
+    ckpt_lib.wait_for_async_saves()  # orbax: final epoch's save must land.
     return trainer
 
 

@@ -166,3 +166,74 @@ def test_checkpoint_integrity_and_back_compat(tmp_path, small_models):
         pickle.dump(env, f, protocol=4)
     with pytest.raises(ValueError, match='schema version'):
         ckpt.load_checkpoint(str(fp))
+
+
+def test_orbax_save_load_exact_structure(tmp_path, small_models):
+    '''The orbax backend round-trips the EXACT train-state pytree — including
+    optax namedtuple state classes (via the pickled treedef side file) and
+    tuple-valued meta entries — and the async save finalizes atomically
+    (SURVEY §7 step 6; the pkl format's logical contents, different store).'''
+    import optax
+    _, _, _, ev, _, _, _ = small_models
+    params = {'encoder': ev['params']}
+    tx = optax.adamw(1e-3)
+    state = dict(params=params, opt_state=tx.init(params),
+                 step=jnp.asarray(5, jnp.int32))
+    out = tmp_path / 'ck_orbax'
+    ckpt.save_checkpoint(str(out), 2, state,
+                         meta={'shape': (3, 4), 'tag': 'v9'}, format='orbax')
+    ckpt.wait_for_async_saves()
+    assert (out / 'model_2.orbax').is_dir()
+    assert (out / 'model_2.orbax.meta.pkl').is_file()
+    assert not (out / 'checkpoint.pkl').exists()
+
+    loaded = ckpt.load_checkpoint(str(out))
+    assert loaded['epoch'] == 2
+    assert loaded['meta']['shape'] == (3, 4)  # pickle side file keeps tuples.
+    assert (jax.tree_util.tree_structure(loaded['state'])
+            == jax.tree_util.tree_structure(state))
+    for a, b in zip(jax.tree_util.tree_leaves(loaded['state']),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_latest_epoch_resolution(tmp_path, small_models):
+    '''No rolling pointer file: "latest" is the max FINALIZED model_*.orbax
+    epoch; an explicit epoch or a direct .orbax dir path also load.'''
+    _, _, _, ev, _, _, _ = small_models
+    out = tmp_path / 'ck'
+    for e in (0, 2):
+        ckpt.save_checkpoint(str(out), e,
+                             {'params': ev['params'],
+                              'step': jnp.asarray(e, jnp.int32)},
+                             meta={'e': e}, format='orbax')
+    ckpt.wait_for_async_saves()
+    assert ckpt.load_checkpoint(str(out))['epoch'] == 2
+    assert ckpt.load_checkpoint(str(out), epoch=0)['meta']['e'] == 0
+    direct = ckpt.load_checkpoint(str(out / 'model_0.orbax'))
+    assert direct['epoch'] == 0
+    # An unfinalized (tmp) array dir must not be picked up as "latest".
+    os.makedirs(out / 'model_9.orbax.orbax-checkpoint-tmp-123', exist_ok=True)
+    assert ckpt.load_checkpoint(str(out))['epoch'] == 2
+
+
+def test_resume_resolution_orbax_layout(tmp_path, small_models):
+    '''`--resume v8` on an orbax-format run resolves to the checkpoint DIR
+    (no rolling pkl exists); the pkl layout keeps resolving to checkpoint.pkl
+    (config.py train_args; reference args.py:20-36 semantics).'''
+    from occlusions4d_tpu.config import train_args
+    _, _, _, ev, _, _, _ = small_models
+    root = tmp_path / 'checkpoints'
+    d = root / 'v8_np256'
+    ckpt.save_checkpoint(str(d), 1, {'params': ev['params']}, meta={},
+                         format='orbax')
+    ckpt.wait_for_async_saves()
+    cfg = train_args(['--resume', 'v8', '--checkpoint_root', str(root),
+                      '--data_path', str(tmp_path), '--name', 'v8'])
+    assert cfg.resume == str(d)
+
+    d2 = root / 'v9_np256'
+    ckpt.save_checkpoint(str(d2), 1, {'params': ev['params']}, meta={})
+    cfg = train_args(['--resume', 'v9', '--checkpoint_root', str(root),
+                      '--data_path', str(tmp_path), '--name', 'v9'])
+    assert cfg.resume == os.path.join(str(d2), 'checkpoint.pkl')

@@ -119,22 +119,45 @@ def test_metrics_structure(trained):
     assert metrics['air_sbs'].shape == (4,)
 
 
-def test_checkpoint_save_resume(trained, tmp_path):
+@pytest.mark.parametrize('fmt', ['pkl', 'orbax'])
+def test_checkpoint_save_resume(trained, tmp_path, fmt):
+    '''Both native checkpoint backends: save -> resume reproduces params
+    exactly, resumes at the right epoch, and the resumed state steps. The
+    orbax arm also pins the eval-side loader (load_models on the orbax dir
+    layout rebuilds the engine from the side-file meta).'''
+    from occlusions4d_tpu import checkpoint as ckpt_lib
     cfg, trainer, batches = trained
+    old_out, old_fmt = cfg.output_path, cfg.checkpoint_format
     cfg.output_path = str(tmp_path / 'ckpt')
-    trainer.save(0)
-    cfg2 = _tiny_cfg(cfg.data_path)
-    trainer2 = Trainer(cfg2, 'greater', logger=Logger(context='resume'))
-    trainer2.resume(cfg.output_path, steps_per_epoch=4)
-    assert trainer2.start_epoch == 1
-    a = jax.tree_util.tree_leaves(trainer.state['params'])
-    b = jax.tree_util.tree_leaves(trainer2.state['params'])
-    for x, y in zip(a, b):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-    # Resumed state steps fine.
-    bt = shard_batch(batches[0], trainer2.mesh)
-    _, metrics = trainer2._train_step(trainer2.state, bt, jax.random.PRNGKey(2))
-    assert bool(metrics['grads_finite'])
+    cfg.checkpoint_format = fmt
+    try:
+        trainer.save(0)
+        ckpt_lib.wait_for_async_saves()
+        cfg2 = _tiny_cfg(cfg.data_path)
+        trainer2 = Trainer(cfg2, 'greater', logger=Logger(context='resume'))
+        trainer2.resume(cfg.output_path, steps_per_epoch=4)
+        assert trainer2.start_epoch == 1
+        a = jax.tree_util.tree_leaves(trainer.state['params'])
+        b = jax.tree_util.tree_leaves(trainer2.state['params'])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # Optimizer state (incl. optax namedtuple classes) survives the store.
+        assert (jax.tree_util.tree_structure(trainer2.state['opt_state'])
+                == jax.tree_util.tree_structure(trainer.state['opt_state']))
+        # Resumed state steps fine.
+        bt = shard_batch(batches[0], trainer2.mesh)
+        _, metrics = trainer2._train_step(trainer2.state, bt,
+                                          jax.random.PRNGKey(2))
+        assert bool(metrics['grads_finite'])
+        if fmt == 'orbax':
+            from occlusions4d_tpu.evaluate.inference import load_models
+            loaded = load_models(cfg.output_path)
+            le = jax.tree_util.tree_leaves(loaded['params'])
+            for x, y in zip(le, jax.tree_util.tree_leaves(
+                    trainer.state['params'])):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    finally:
+        cfg.output_path, cfg.checkpoint_format = old_out, old_fmt
 
 
 def test_data_parallel_sharded_step(greater_root):
