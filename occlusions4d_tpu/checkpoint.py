@@ -28,7 +28,7 @@ from flax import traverse_util
 
 __all__ = ['torch_key_to_flax', 'import_torch_state_dict', 'export_torch_state_dict',
            'load_reference_checkpoint', 'save_checkpoint', 'load_checkpoint',
-           'resolve_resume_path', 'wait_for_async_saves']
+           'resolve_resume_path', 'wait_for_async_saves', 'newest_native_layout']
 
 
 def _merge_numeric(parts):
@@ -207,44 +207,53 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _envelope_bytes(payload_obj):
+    '''Pickle payload_obj and wrap it in the crc-checked version envelope.'''
+    import zlib
+    payload_bytes = pickle.dumps(payload_obj, protocol=4)
+    return {'format': _CKPT_FORMAT, 'version': _CKPT_VERSION,
+            'crc32': zlib.crc32(payload_bytes), 'payload': payload_bytes}
+
+
+def _write_envelope(final_path, envelope):
+    '''Atomic (tmp + os.replace) write of a prebuilt envelope dict.'''
+    tmp = final_path + '.tmp'
+    with open(tmp, 'wb') as f:
+        pickle.dump(envelope, f, protocol=4)
+    os.replace(tmp, final_path)
+
+
 def save_checkpoint(output_dir, epoch, state_tree, meta=None, format='pkl'):
     '''
     :param state_tree: arbitrary pytree (train state: params, opt state, step...).
     :param meta (dict): json-able config / args snapshots.
     :param format: 'pkl' (envelope pickle, default) or 'orbax' (async orbax
-        array store + a small envelope-pickle side file for meta/treedef;
+        array store carrying the meta/treedef as an embedded byte leaf;
         SURVEY section 7 step 6). Orbax saves return once the arrays are
         snapshotted and write the directory in a background thread (atomic
         tmp-dir rename on completion) so training never blocks on storage;
         call wait_for_async_saves() before process exit / immediate reload.
     '''
-    import zlib
     os.makedirs(output_dir, exist_ok=True)
     if format == 'orbax':
         return _save_orbax(output_dir, epoch, state_tree, meta)
     assert format == 'pkl', format
-    payload = {'epoch': int(epoch), 'state': _to_numpy_tree(state_tree),
-               'meta': meta or {}}
-    payload_bytes = pickle.dumps(payload, protocol=4)
-    envelope = {'format': _CKPT_FORMAT, 'version': _CKPT_VERSION,
-                'crc32': zlib.crc32(payload_bytes), 'payload': payload_bytes}
+    envelope = _envelope_bytes({'epoch': int(epoch),
+                                'state': _to_numpy_tree(state_tree),
+                                'meta': meta or {}})
     for name in (f'model_{epoch}.pkl', 'checkpoint.pkl'):
-        tmp = os.path.join(output_dir, name + '.tmp')
-        with open(tmp, 'wb') as f:
-            pickle.dump(envelope, f, protocol=4)
-        os.replace(tmp, os.path.join(output_dir, name))
+        _write_envelope(os.path.join(output_dir, name), envelope)
 
 
 # --------------------------------------------------------------------- orbax --
-# Orbax backend layout under output_dir:
-#   model_{e}.orbax/           finalized orbax array store (flat, path-keyed
-#                              leaves; atomic rename => presence == complete)
-#   model_{e}.orbax.meta.pkl   envelope pickle: epoch, meta, pickled treedef +
-#                              leaf key order (exact pytree reconstruction,
-#                              including optax namedtuple state classes)
-# There is no rolling pointer file: "latest" is the max epoch whose array dir
-# AND side file both exist, which is async-safe (the dir appears atomically
-# only when the background write finalizes).
+# Orbax backend layout under output_dir: one directory per epoch,
+#   model_{e}.orbax/    finalized orbax array store (flat, path-keyed leaves;
+#                       atomic rename => presence == complete)
+# The epoch/meta/treedef side payload travels INSIDE the store as a uint8 byte
+# leaf (_SIDE_KEY, an envelope pickle), so arrays and metadata finalize as ONE
+# atomic unit — no meta-file/array-dir mismatch window exists even across
+# crashes or re-saves. There is no rolling pointer file: "latest" is the max
+# finalized model_{e}.orbax epoch, which is async-safe.
 
 _ORBAX_CKPTR = None
 
@@ -279,27 +288,37 @@ def _flatten_state(state_tree):
     return dict(zip(keys, leaves)), treedef, keys
 
 
+_SIDE_KEY = '__o4d_side__'
+
+
 def _save_orbax(output_dir, epoch, state_tree, meta):
-    import zlib
     import orbax.checkpoint as ocp
     flat, treedef, keys = _flatten_state(_to_numpy_tree(state_tree))
+    assert _SIDE_KEY not in flat
     side = {'epoch': int(epoch), 'meta': meta or {},
             'treedef': pickle.dumps(treedef, protocol=4), 'leaf_keys': keys}
-    side_bytes = pickle.dumps(side, protocol=4)
-    envelope = {'format': _CKPT_FORMAT, 'version': _CKPT_VERSION,
-                'crc32': zlib.crc32(side_bytes), 'payload': side_bytes}
-    side_tmp = os.path.join(output_dir, f'model_{epoch}.orbax.meta.pkl.tmp')
-    with open(side_tmp, 'wb') as f:
-        pickle.dump(envelope, f, protocol=4)
-    os.replace(side_tmp, os.path.join(output_dir, f'model_{epoch}.orbax.meta.pkl'))
+    flat[_SIDE_KEY] = np.frombuffer(
+        pickle.dumps(_envelope_bytes(side), protocol=4), dtype=np.uint8).copy()
 
     ckptr = _orbax_checkpointer()
     ckptr.wait_until_finished()  # one in-flight save at a time.
     path = os.path.abspath(os.path.join(output_dir, f'model_{epoch}.orbax'))
-    if os.path.exists(path):  # re-save of the same epoch (e.g. resumed run).
-        import shutil
-        shutil.rmtree(path)
+    if not os.path.exists(path):
+        ckptr.save(path, args=ocp.args.StandardSave(flat))
+        return
+    # Re-save of an existing epoch (e.g. a resumed run re-running it): never
+    # destroy the only finalized copy before its replacement exists. Park the
+    # old store, write the new one SYNCHRONOUSLY, then drop the parked copy.
+    # A crash mid-window leaves model_{e}.orbax.prev on disk (recoverable by
+    # renaming back); it is never half-new/half-old.
+    import shutil
+    prev = path + '.prev'
+    if os.path.exists(prev):
+        shutil.rmtree(prev)
+    os.replace(path, prev)
     ckptr.save(path, args=ocp.args.StandardSave(flat))
+    ckptr.wait_until_finished()
+    shutil.rmtree(prev)
 
 
 def _orbax_epochs(dirpath):
@@ -307,13 +326,48 @@ def _orbax_epochs(dirpath):
     for name in os.listdir(dirpath):
         if name.startswith('model_') and name.endswith('.orbax'):
             stem = name[len('model_'):-len('.orbax')]
-            if (stem.isdigit() and os.path.isdir(os.path.join(dirpath, name))
-                    and os.path.isfile(os.path.join(dirpath, name + '.meta.pkl'))):
+            if stem.isdigit() and os.path.isdir(os.path.join(dirpath, name)):
                 out.append(int(stem))
     return sorted(out)
 
 
+def _pkl_epochs(dirpath):
+    out = []
+    for name in os.listdir(dirpath):
+        if name.startswith('model_') and name.endswith('.pkl'):
+            stem = name[len('model_'):-len('.pkl')]
+            if stem.isdigit():
+                out.append(int(stem))
+    return sorted(out)
+
+
+def newest_native_layout(dirpath, epoch=-1):
+    '''Arbitrate between the two native layouts coexisting in one run dir
+    (e.g. after a --checkpoint_format switch mid-experiment): pick the format
+    holding the requested epoch (pkl preferred on a tie), or — for epoch=-1 —
+    the format whose NEWEST epoch is higher, so a stale rolling checkpoint.pkl
+    can never shadow newer orbax epochs (or vice versa).
+    :return ('pkl'|'orbax'|None, epoch int).'''
+    pe = _pkl_epochs(dirpath) if os.path.isdir(dirpath) else []
+    oe = _orbax_epochs(dirpath) if os.path.isdir(dirpath) else []
+    if epoch >= 0:
+        if epoch in pe:
+            return 'pkl', epoch
+        if epoch in oe:
+            return 'orbax', epoch
+        return None, epoch
+    mp = pe[-1] if pe else -1
+    mo = oe[-1] if oe else -1
+    if mp < 0 and mo < 0:
+        # Legacy dirs may hold only a rolling checkpoint.pkl.
+        if os.path.isfile(os.path.join(dirpath, 'checkpoint.pkl')):
+            return 'pkl', -1
+        return None, -1
+    return ('orbax', mo) if mo > mp else ('pkl', mp)
+
+
 def _load_orbax(dirpath, epoch):
+    import zlib
     import orbax.checkpoint as ocp
     wait_for_async_saves()
     if epoch < 0:
@@ -321,10 +375,17 @@ def _load_orbax(dirpath, epoch):
         if not epochs:
             raise FileNotFoundError(f'No finalized orbax checkpoint in {dirpath}')
         epoch = epochs[-1]
-    side = load_checkpoint(os.path.join(dirpath, f'model_{epoch}.orbax.meta.pkl'))
     ckptr = _orbax_checkpointer()
     flat = ckptr.restore(os.path.join(dirpath, f'model_{epoch}.orbax'),
                          args=ocp.args.StandardRestore())
+    env = pickle.loads(np.asarray(flat.pop(_SIDE_KEY), np.uint8).tobytes())
+    if env['version'] > _CKPT_VERSION:
+        raise ValueError(f'Orbax checkpoint {dirpath} epoch {epoch} has schema '
+                         f'version {env["version"]} > supported {_CKPT_VERSION}')
+    if zlib.crc32(env['payload']) != env['crc32']:
+        raise ValueError(f'Orbax checkpoint {dirpath} epoch {epoch} failed its '
+                         'side-payload integrity check')
+    side = pickle.loads(env['payload'])
     treedef = pickle.loads(side['treedef'])
     state = jax.tree_util.tree_unflatten(
         treedef, [flat[k] for k in side['leaf_keys']])
@@ -341,9 +402,12 @@ def load_checkpoint(path, epoch=-1):
             d = os.path.dirname(os.path.abspath(path.rstrip('/')))
             e = int(os.path.basename(path.rstrip('/'))[len('model_'):-len('.orbax')])
             return _load_orbax(d, e)
+        fmt, found = newest_native_layout(path, epoch)
+        if fmt == 'orbax':
+            return _load_orbax(path, found)
+        # pkl (or unknown — fall through to a clear open error): the rolling
+        # file always carries the max pkl epoch.
         name = f'model_{epoch}.pkl' if epoch >= 0 else 'checkpoint.pkl'
-        if not os.path.isfile(os.path.join(path, name)) and _orbax_epochs(path):
-            return _load_orbax(path, epoch)
         path = os.path.join(path, name)
     try:
         with open(path, 'rb') as f:

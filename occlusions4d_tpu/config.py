@@ -276,13 +276,16 @@ def train_args(argv=None):
         args.output_path = os.path.join(args.checkpoint_root, args.tag)
 
     if args.resume and not (os.path.exists(args.resume) and os.path.isfile(args.resume)):
-        from .checkpoint import resolve_resume_path
+        from .checkpoint import resolve_resume_path, newest_native_layout
         resolved = resolve_resume_path(args.resume, args.checkpoint_root)
-        rolling = os.path.join(resolved, 'checkpoint.pkl')
         # pkl layout resumes through the rolling file; the orbax layout has no
         # rolling file — resume from the directory (load auto-picks the latest
-        # finalized epoch).
-        args.resume = rolling if os.path.isfile(rolling) else resolved
+        # finalized epoch). When BOTH layouts coexist (a --checkpoint_format
+        # switch mid-experiment), the one holding the newest epoch wins, so a
+        # stale rolling pkl never shadows newer orbax epochs.
+        fmt, _ = newest_native_layout(resolved)
+        args.resume = (resolved if fmt == 'orbax'
+                       else os.path.join(resolved, 'checkpoint.pkl'))
     return args
 
 

@@ -52,16 +52,20 @@ def load_models(checkpoint_path, epoch=-1, logger=None, dtype=jnp.float32):
     '''
     print_fn = logger.info if logger is not None else print
     if os.path.isdir(checkpoint_path) and not checkpoint_path.rstrip('/').endswith('.orbax'):
-        cand_pkl = os.path.join(checkpoint_path,
-                                f'model_{epoch}.pkl' if epoch >= 0 else 'checkpoint.pkl')
-        cand_pth = os.path.join(checkpoint_path,
-                                f'model_{epoch}.pth' if epoch >= 0 else 'checkpoint.pth')
-        if os.path.exists(cand_pkl):
-            checkpoint_path = cand_pkl
-        elif ckpt_lib._orbax_epochs(checkpoint_path):
-            pass  # orbax layout: load_checkpoint takes the directory + epoch.
+        # Native-layout arbitration mirrors load_checkpoint: the format holding
+        # the requested (or newest) epoch wins, so a stale rolling pkl cannot
+        # shadow newer orbax epochs after a --checkpoint_format switch.
+        fmt, _ = ckpt_lib.newest_native_layout(checkpoint_path, epoch)
+        if fmt == 'pkl':
+            checkpoint_path = os.path.join(
+                checkpoint_path,
+                f'model_{epoch}.pkl' if epoch >= 0 else 'checkpoint.pkl')
+        elif fmt == 'orbax':
+            pass  # load_checkpoint takes the directory + epoch.
         else:
-            checkpoint_path = cand_pth
+            checkpoint_path = os.path.join(
+                checkpoint_path,
+                f'model_{epoch}.pth' if epoch >= 0 else 'checkpoint.pth')
     print_fn(f'Loading weights from: {checkpoint_path}')
 
     if checkpoint_path.endswith('.pth'):

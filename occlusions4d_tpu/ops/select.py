@@ -82,8 +82,7 @@ def masked_choice(key, valid, n_draw, weights=None):
         (indices then point at entry 0 and must be discarded by the caller).
     '''
     w = jnp.where(valid, 1.0 if weights is None else weights, 0.0).astype(jnp.float32)
-    total = jnp.sum(w)
-    ok = total > 0
+    ok = jnp.sum(w) > 0
     # XLA lowers cumsum as a tree scan, so with f32 rounding the cdf of
     # non-negative weights is NOT guaranteed monotone (measured: 1-ulp local
     # dips at ~40k elements) — which violates searchsorted's sorted-input
@@ -93,7 +92,13 @@ def masked_choice(key, valid, n_draw, weights=None):
     # except ulp-level dips) and makes all three lowerings bit-identical:
     # each is then exactly count(cdf <= u).
     cdf = jax.lax.cummax(jnp.cumsum(w))
-    u = jax.random.uniform(key, (n_draw,), minval=0.0, maxval=1.0) * jnp.maximum(total, 1e-30)
+    # Scale the uniforms by the MONOTONE cdf's last element, not by jnp.sum(w):
+    # pairwise summation can exceed cdf[-1] by ulps, and a draw landing in
+    # (cdf[-1], sum(w)] would searchsort past the end — clamped to n-1, which
+    # may be a masked-out entry. With u < cdf[-1] every draw lands strictly
+    # inside a positive-weight step of the cdf.
+    u = (jax.random.uniform(key, (n_draw,), minval=0.0, maxval=1.0)
+         * jnp.maximum(cdf[-1], 1e-30))
     # Lowering policy (measured, PERFLOG round 4): the default 'scan' lowers
     # to a log2(N)-iteration XLA while loop of gathers whose per-iteration
     # overhead dominates at gv1's pool shapes (the step trace showed the

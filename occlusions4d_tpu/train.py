@@ -317,11 +317,30 @@ class Trainer:
         return self.state
 
     def resume(self, path, steps_per_epoch=1000):
-        payload = ckpt_lib.load_checkpoint(path)
         self.tx, self.schedule = build_optimizer(self.cfg, steps_per_epoch)
-        self.state = jax.device_put(payload['state'], replicated(self.mesh))
+        if str(path).endswith('.pth'):
+            # Reference-format checkpoint (torch bridge): model weights + epoch
+            # warm-start. The reference's torch Adam moments are NOT mapped
+            # into optax (different state layout) — the optimizer restarts
+            # fresh at the schedule position implied by the epoch.
+            ref = ckpt_lib.load_reference_checkpoint(path)
+            params = dict(encoder=ref['encoder_variables'],
+                          decoder=ref['decoder_variables'])
+            epoch = int(ref['epoch'])
+            step = jnp.asarray((epoch + 1) * steps_per_epoch, jnp.int32)
+            state = dict(params=params, opt_state=self.tx.init(params),
+                         step=step)
+            if self.logger is not None:
+                self.logger.info('Resuming from a reference .pth checkpoint: '
+                                 'weights + epoch loaded, optimizer state '
+                                 'reinitialized (torch Adam moments are not '
+                                 'bridged).')
+        else:
+            payload = ckpt_lib.load_checkpoint(path)
+            state, epoch = payload['state'], payload['epoch']
+        self.state = jax.device_put(state, replicated(self.mesh))
         self._build_steps()
-        self.start_epoch = payload['epoch'] + 1
+        self.start_epoch = epoch + 1
         return self.state
 
     def _build_steps(self):

@@ -170,9 +170,10 @@ def test_checkpoint_integrity_and_back_compat(tmp_path, small_models):
 
 def test_orbax_save_load_exact_structure(tmp_path, small_models):
     '''The orbax backend round-trips the EXACT train-state pytree — including
-    optax namedtuple state classes (via the pickled treedef side file) and
-    tuple-valued meta entries — and the async save finalizes atomically
-    (SURVEY §7 step 6; the pkl format's logical contents, different store).'''
+    optax namedtuple state classes (via the treedef side payload embedded in
+    the array store, so metadata and arrays finalize as one atomic unit) and
+    tuple-valued meta entries (SURVEY §7 step 6; the pkl format's logical
+    contents, different store).'''
     import optax
     _, _, _, ev, _, _, _ = small_models
     params = {'encoder': ev['params']}
@@ -184,7 +185,6 @@ def test_orbax_save_load_exact_structure(tmp_path, small_models):
                          meta={'shape': (3, 4), 'tag': 'v9'}, format='orbax')
     ckpt.wait_for_async_saves()
     assert (out / 'model_2.orbax').is_dir()
-    assert (out / 'model_2.orbax.meta.pkl').is_file()
     assert not (out / 'checkpoint.pkl').exists()
 
     loaded = ckpt.load_checkpoint(str(out))
@@ -237,3 +237,45 @@ def test_resume_resolution_orbax_layout(tmp_path, small_models):
     cfg = train_args(['--resume', 'v9', '--checkpoint_root', str(root),
                       '--data_path', str(tmp_path), '--name', 'v9'])
     assert cfg.resume == os.path.join(str(d2), 'checkpoint.pkl')
+
+
+def test_orbax_resave_preserves_old_copy_and_layout_arbitration(
+        tmp_path, small_models):
+    '''(a) Re-saving an existing epoch must never destroy the only finalized
+    copy before its replacement exists (the old store is parked as .prev and
+    the replacement written synchronously). (b) When BOTH native layouts
+    coexist in one dir (a --checkpoint_format switch mid-experiment), the
+    layout holding the NEWEST epoch wins everywhere — a stale rolling
+    checkpoint.pkl must not shadow newer orbax epochs, and vice versa.'''
+    _, _, _, ev, _, _, _ = small_models
+    out = tmp_path / 'ck'
+
+    # (a) re-save epoch 1 with different step values; latest content wins,
+    # no .prev residue after a clean re-save.
+    for step in (10, 20):
+        ckpt.save_checkpoint(str(out), 1,
+                             {'params': ev['params'],
+                              'step': jnp.asarray(step, jnp.int32)},
+                             meta={'step': step}, format='orbax')
+    ckpt.wait_for_async_saves()
+    assert not (out / 'model_1.orbax.prev').exists()
+    assert ckpt.load_checkpoint(str(out))['meta']['step'] == 20
+
+    # (b1) pkl epochs 0-2 (rolling at 2) + orbax epoch 3 -> orbax wins.
+    for e in (0, 1, 2):
+        ckpt.save_checkpoint(str(out), e, {'params': ev['params']},
+                             meta={'fmt': 'pkl', 'e': e})
+    ckpt.save_checkpoint(str(out), 3, {'params': ev['params']},
+                         meta={'fmt': 'orbax', 'e': 3}, format='orbax')
+    ckpt.wait_for_async_saves()
+    assert ckpt.newest_native_layout(str(out)) == ('orbax', 3)
+    assert ckpt.load_checkpoint(str(out))['meta'] == {'fmt': 'orbax', 'e': 3}
+    # Explicit epochs still route to the format that holds them.
+    assert ckpt.load_checkpoint(str(out), epoch=2)['meta']['fmt'] == 'pkl'
+    assert ckpt.load_checkpoint(str(out), epoch=1)['meta']['fmt'] == 'pkl'
+
+    # (b2) a newer pkl epoch flips the arbitration back.
+    ckpt.save_checkpoint(str(out), 4, {'params': ev['params']},
+                         meta={'fmt': 'pkl', 'e': 4})
+    assert ckpt.newest_native_layout(str(out)) == ('pkl', 4)
+    assert ckpt.load_checkpoint(str(out))['meta'] == {'fmt': 'pkl', 'e': 4}

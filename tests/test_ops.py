@@ -220,16 +220,20 @@ def test_masked_choice_lowerings_bit_identical(n, monkeypatch):
     for mode in ('scan', 'sort', 'unrolled'):
         np.testing.assert_array_equal(draws['auto'], draws[mode], err_msg=mode)
 
-    # Semantic oracle on the device-computed cdf and uniforms.
+    # Semantic oracle on the device-computed MONOTONE cdf and uniforms (raw
+    # cumsum is not sorted — np.searchsorted on it would itself be undefined
+    # at the tree-scan dip sites).
     w = jnp.where(jnp.asarray(valid), jnp.asarray(weights), 0.0)
-    cdf = np.asarray(jnp.cumsum(w))
-    # total via jnp.sum exactly as masked_choice computes it (pairwise
-    # accumulation differs from cumsum's last element in f32).
+    cdf = np.maximum.accumulate(np.asarray(jnp.cumsum(w)))
     u = np.asarray(jax.random.uniform(key, (n_draw,))
-                   * jnp.maximum(jnp.sum(w), 1e-30))
+                   * jnp.maximum(jnp.asarray(cdf)[-1], 1e-30))
+    assert (np.diff(cdf) >= 0).all()
     expect = np.minimum(np.searchsorted(cdf, u, side='right'), n - 1)
     np.testing.assert_array_equal(draws['auto'], expect)
     assert valid[draws['auto']].all()
+    # Every draw sits strictly inside a positive-weight cdf step (the u scale
+    # is cdf[-1], not the pairwise jnp.sum, so no draw can fall off the end).
+    assert (u < cdf[-1]).all()
 
 
 def test_knn_interpolate_exact_at_source():

@@ -160,6 +160,34 @@ def test_checkpoint_save_resume(trained, tmp_path, fmt):
         cfg.output_path, cfg.checkpoint_format = old_out, old_fmt
 
 
+def test_resume_from_reference_pth_warm_start(trained, tmp_path):
+    '''`--resume model.pth` on the TRAIN side (MIGRATION.md §3): weights and
+    epoch load through the torch bridge; the optimizer restarts fresh at the
+    schedule position implied by the epoch (torch Adam moments are not
+    bridged), and the warm-started state steps.'''
+    torch = pytest.importorskip('torch')
+    from occlusions4d_tpu import checkpoint as ckpt_lib
+    cfg, trainer, batches = trained
+    sd_e = ckpt_lib.export_torch_state_dict(
+        trainer.state['params']['encoder'], net='encoder')
+    sd_d = ckpt_lib.export_torch_state_dict(
+        trainer.state['params']['decoder'], net='decoder')
+    pth = str(tmp_path / 'model_4.pth')
+    torch.save({'pcl_net': sd_e, 'implicit_net': sd_d, 'epoch': 4}, pth)
+
+    tr2 = Trainer(_tiny_cfg(cfg.data_path), 'greater',
+                  logger=Logger(context='pth_resume'))
+    tr2.resume(pth, steps_per_epoch=4)
+    assert tr2.start_epoch == 5
+    assert int(np.asarray(tr2.state['step'])) == 5 * 4  # schedule position.
+    for x, y in zip(jax.tree_util.tree_leaves(tr2.state['params']),
+                    jax.tree_util.tree_leaves(trainer.state['params'])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+    bt = shard_batch(batches[0], tr2.mesh)
+    _, metrics = tr2._train_step(tr2.state, bt, jax.random.PRNGKey(3))
+    assert bool(metrics['grads_finite'])
+
+
 def test_data_parallel_sharded_step(greater_root):
     '''Same step on a dp=8 mesh: batch axis sharded, params replicated; the jitted
     step must compile and execute with XLA-inserted gradient reductions.'''
