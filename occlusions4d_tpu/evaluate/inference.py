@@ -86,7 +86,10 @@ def load_models(checkpoint_path, epoch=-1, logger=None, dtype=jnp.float32):
                     train_config=train_cfg, dset_args=ref['dset_args'],
                     data_kind=None, epoch=ref['epoch'])
 
-    payload = ckpt_lib.load_checkpoint(checkpoint_path, epoch=epoch)
+    # Eval only reads params/meta: a pure-dict subset target keeps orbax loads
+    # independent of the optimizer classes pickled into the treedef.
+    payload = ckpt_lib.load_checkpoint(checkpoint_path, epoch=epoch,
+                                       make_state_target=lambda pure: pure)
     meta = payload['meta']
     enc_args = dict(meta['encoder_args'])
     enc_args['fps_random_start'] = False

@@ -26,7 +26,11 @@ __all__ = ['fused_field_apply', 'supports_fused']
 # knn_gather_rows and consumed from HBM. Below it the per-op gathers are
 # cheaper than the extra HBM round-trips (gv1's M=531 cloud); above it the
 # gather matmuls dominate the decoder (cv1/57k's M~2124). Module global so
-# step-level A/B sweeps can retune; numerics-identical either way.
+# step-level A/B sweeps can retune. Retuning is bit-identical only where the
+# per-op path would itself run raw (non-premul) gathers — the shared producer
+# always gathers raw [feats|pos] rows, so for shapes where the per-op path
+# selects premul (M below its premul crossover, or feat > 2*dim) the two paths
+# differ at float-associativity level.
 SHARED_GATHER_MIN_M = 1024
 
 

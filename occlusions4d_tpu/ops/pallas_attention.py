@@ -805,9 +805,12 @@ _interp_flat.defvjp(_interp_flat_fwd, _interp_flat_bwd)
 
 def _gather_kernel(fv_ref, ki_ref, g_ref, *, k, group, compute_dtype):
     '''One-hot gather producer: g[0, j] = fv[ki[:, j]] for j < k.
-    Blocks: fv (1, M, C) cd; ki (1, T, LANES) i32; g (1, k, T, C) g-dtype
-    (== cd in bf16 mode: the f32 matmul accumulator holds exact bf16 values,
-    so the downcast store is lossless).'''
+    Blocks: fv (1, M, C) cd; ki (1, T, LANES) i32; g (1, k, T, C) g-dtype.
+    _gather_call pins g_dtype = float32 unconditionally (even in bf16 mode,
+    where the store would be lossless — the f32 accumulator holds exact bf16
+    values): consumers re-cast g rows to their compute dtype, and an f32 store
+    keeps the producer's VJP scatter accumulation exact. Any storage-dtype
+    retune must revisit both.'''
     (_, T, _) = ki_ref.shape
     (_, M, _) = fv_ref.shape
     cd = compute_dtype

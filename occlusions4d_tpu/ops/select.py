@@ -95,10 +95,13 @@ def masked_choice(key, valid, n_draw, weights=None):
     # Scale the uniforms by the MONOTONE cdf's last element, not by jnp.sum(w):
     # pairwise summation can exceed cdf[-1] by ulps, and a draw landing in
     # (cdf[-1], sum(w)] would searchsort past the end — clamped to n-1, which
-    # may be a masked-out entry. With u < cdf[-1] every draw lands strictly
-    # inside a positive-weight step of the cdf.
+    # may be a masked-out entry. The product uniform * cdf[-1] can still round
+    # UP to exactly cdf[-1] (uniform near 1, ties-to-even; ~2^-25 per draw), so
+    # clamp one ulp below: with u < cdf[-1] strictly, every draw lands inside a
+    # positive-weight step of the cdf under all three lowerings.
     u = (jax.random.uniform(key, (n_draw,), minval=0.0, maxval=1.0)
          * jnp.maximum(cdf[-1], 1e-30))
+    u = jnp.minimum(u, jnp.nextafter(cdf[-1], jnp.float32(0.0)))
     # Lowering policy (measured, PERFLOG round 4): the default 'scan' lowers
     # to a log2(N)-iteration XLA while loop of gathers whose per-iteration
     # overhead dominates at gv1's pool shapes (the step trace showed the

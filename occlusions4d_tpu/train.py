@@ -336,7 +336,14 @@ class Trainer:
                                  'reinitialized (torch Adam moments are not '
                                  'bridged).')
         else:
-            payload = ckpt_lib.load_checkpoint(path)
+            # Orbax stores restore into a freshly-built optimizer template
+            # (import-path-decoupled: the stored treedef pickle is never
+            # touched); pkl stores ignore the target and round-trip exactly.
+            payload = ckpt_lib.load_checkpoint(
+                path, make_state_target=lambda pure: dict(
+                    params=pure['params'],
+                    opt_state=self.tx.init(pure['params']),
+                    step=jnp.zeros((), jnp.int32)))
             state, epoch = payload['state'], payload['epoch']
         self.state = jax.device_put(state, replicated(self.mesh))
         self._build_steps()
@@ -407,7 +414,8 @@ class Trainer:
                 self.logger.info('Device trace written to '
                                  f'{os.path.join(self.logger.log_dir, "profile")}')
 
-        while True:
+        try:
+          while True:
             cur_step += 1
             if prof_until is not None:
                 if prof_active and cur_step >= prof_until:
@@ -499,7 +507,11 @@ class Trainer:
                                 remember=True, commit_histogram=True)
                 metrics_hist.append(m)
 
-        _prof_stop()   # epoch shorter than profile_steps: close the trace.
+        finally:
+            # Close an active device trace even when the step loop raises
+            # (NaN-param poison pill, loader error): an unterminated trace is
+            # lost/corrupt and leaves the profiler running for the process.
+            _prof_stop()
         check_guard()  # trailing-edge guard for the final step.
         self.logger.info(f'[{stage}] epoch {epoch} finished in '
                          f'{time.time() - start:.1f}s')

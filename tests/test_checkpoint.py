@@ -279,3 +279,117 @@ def test_orbax_resave_preserves_old_copy_and_layout_arbitration(
                          meta={'fmt': 'pkl', 'e': 4})
     assert ckpt.newest_native_layout(str(out)) == ('pkl', 4)
     assert ckpt.load_checkpoint(str(out))['meta'] == {'fmt': 'pkl', 'e': 4}
+
+
+def test_orbax_restore_into_target_decoupled_from_import_paths(
+        tmp_path, small_models, monkeypatch):
+    '''make_state_target restores must rebuild the state from the declarative
+    leaf-path record + a caller-built template (params from pure dicts,
+    optimizer state from a fresh tx.init) and must NEVER unpickle the stored
+    treedef — so moving/renaming the optimizer or module classes between save
+    and load cannot brick a checkpoint (round-4 verdict weak #4).'''
+    import optax
+    _, _, _, ev, _, _, _ = small_models
+    params = {'encoder': ev['params']}
+    tx = optax.adamw(1e-3)
+    state = dict(params=params, opt_state=tx.init(params),
+                 step=jnp.asarray(7, jnp.int32))
+    out = tmp_path / 'ck'
+    ckpt.save_checkpoint(str(out), 1, state, meta={'tag': 'x'}, format='orbax')
+    ckpt.wait_for_async_saves()
+
+    # Simulate the import-path refactor: the pickled treedef is unloadable.
+    def _boom(_):
+        raise ModuleNotFoundError('optimizer class moved between versions')
+    monkeypatch.setattr(ckpt, '_UNPICKLE_TREEDEF', _boom)
+
+    # Targetless load depends on the pickle and fails...
+    with pytest.raises(ModuleNotFoundError):
+        ckpt.load_checkpoint(str(out))
+
+    # ...restore-into-target succeeds: exact leaves, live optax classes.
+    def target(pure):
+        return dict(params=pure['params'], opt_state=tx.init(pure['params']),
+                    step=jnp.zeros((), jnp.int32))
+    loaded = ckpt.load_checkpoint(str(out), make_state_target=target)
+    assert loaded['epoch'] == 1 and loaded['meta']['tag'] == 'x'
+    assert (jax.tree_util.tree_structure(loaded['state'])
+            == jax.tree_util.tree_structure(state))
+    for a, b in zip(jax.tree_util.tree_leaves(loaded['state']),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(loaded['state']['step']) == 7  # filled from the store.
+
+    # A read-only consumer can target just the pure-dict subtrees (inference
+    # needs only params): subset templates are valid.
+    sub = ckpt.load_checkpoint(str(out), make_state_target=lambda pure: pure)
+    assert _trees_equal(sub['state']['params'], params)
+
+    # Targeting a leaf the store lacks is a clear error, not a silent zero.
+    def bad(pure):
+        return dict(params=pure['params'], extra=jnp.zeros((2,)))
+    with pytest.raises(ValueError, match='does not hold'):
+        ckpt.load_checkpoint(str(out), make_state_target=bad)
+
+
+def test_orbax_orphaned_prev_recovered_on_load(tmp_path, small_models):
+    '''A crash between parking model_{e}.orbax as .prev and finalizing its
+    replacement leaves the .prev as the ONLY copy of that epoch; load must
+    restore it (rename back) instead of silently resuming from an older epoch
+    (round-4 advisor). An in-flight orbax tmp dir suppresses recovery.'''
+    _, _, _, ev, _, _, _ = small_models
+    out = tmp_path / 'ck'
+    for e in (0, 1):
+        ckpt.save_checkpoint(str(out), e, {'params': ev['params']},
+                             meta={'e': e}, format='orbax')
+    ckpt.wait_for_async_saves()
+    # Simulate the crash window of a re-save of epoch 1.
+    os.replace(out / 'model_1.orbax', out / 'model_1.orbax.prev')
+    assert ckpt.load_checkpoint(str(out))['meta']['e'] == 1  # recovered.
+    assert (out / 'model_1.orbax').is_dir()
+    assert not (out / 'model_1.orbax.prev').exists()
+
+    # A .prev whose replacement save is still in flight is left alone.
+    os.replace(out / 'model_1.orbax', out / 'model_1.orbax.prev')
+    os.makedirs(out / 'model_1.orbax.orbax-checkpoint-tmp-42')
+    assert ckpt.load_checkpoint(str(out))['meta']['e'] == 0
+    assert (out / 'model_1.orbax.prev').is_dir()
+
+
+def test_cross_format_resume_legs(tmp_path, small_models):
+    '''Cross-format resume through one run dir: a pkl run continued under
+    --checkpoint_format orbax resumes from the orbax epoch, and vice versa,
+    with the SAME make_state_target call the trainer uses (ignored by pkl,
+    treedef-free for orbax).'''
+    import optax
+    _, _, _, ev, _, _, _ = small_models
+    params = {'encoder': ev['params']}
+    tx = optax.adamw(1e-3)
+
+    def target(pure):
+        return dict(params=pure['params'], opt_state=tx.init(pure['params']),
+                    step=jnp.zeros((), jnp.int32))
+
+    def mk_state(step):
+        return dict(params=params, opt_state=tx.init(params),
+                    step=jnp.asarray(step, jnp.int32))
+
+    # pkl epoch 0 -> orbax epoch 1: resume picks orbax, template-restored.
+    out = tmp_path / 'a'
+    ckpt.save_checkpoint(str(out), 0, mk_state(10), meta={'e': 0})
+    ckpt.save_checkpoint(str(out), 1, mk_state(20), meta={'e': 1},
+                         format='orbax')
+    ckpt.wait_for_async_saves()
+    loaded = ckpt.load_checkpoint(str(out), make_state_target=target)
+    assert loaded['epoch'] == 1 and int(loaded['state']['step']) == 20
+    assert (jax.tree_util.tree_structure(loaded['state'])
+            == jax.tree_util.tree_structure(mk_state(20)))
+
+    # orbax epoch 0 -> pkl epoch 1: resume picks the pkl (target ignored).
+    out2 = tmp_path / 'b'
+    ckpt.save_checkpoint(str(out2), 0, mk_state(30), meta={'e': 0},
+                         format='orbax')
+    ckpt.wait_for_async_saves()
+    ckpt.save_checkpoint(str(out2), 1, mk_state(40), meta={'e': 1})
+    loaded = ckpt.load_checkpoint(str(out2), make_state_target=target)
+    assert loaded['epoch'] == 1 and int(loaded['state']['step']) == 40
