@@ -88,19 +88,24 @@ def import_torch_state_dict(state_dict, net='encoder'):
         path, kind = torch_key_to_flax(key, net=net)
         if kind == 'skip':
             continue
+        # jnp.array (copy=True), NOT jnp.asarray: torch's tensor.numpy()
+        # SHARES memory with the module, and the CPU jax backend can alias a
+        # numpy buffer zero-copy - an in-place torch optimizer step would then
+        # silently mutate the imported flax params (observed; caught by the
+        # lockstep training parity test).
         arr = np.asarray(getattr(val, 'numpy', lambda: val)())
         if kind == 'weight':
             if arr.ndim == 2:
-                params[path + ('kernel',)] = jnp.asarray(arr.T)
+                params[path + ('kernel',)] = jnp.array(arr.T)
             else:  # 1-D weight: norm scale.
-                params[path + ('norm', 'scale')] = jnp.asarray(arr)
+                params[path + ('norm', 'scale')] = jnp.array(arr)
         elif kind == 'bias':
             dest = ('norm', 'bias') if _is_norm_bias(state_dict, key) else ('bias',)
-            params[path + dest] = jnp.asarray(arr)
+            params[path + dest] = jnp.array(arr)
         elif kind == 'mean':
-            batch_stats[path + ('norm', 'mean')] = jnp.asarray(arr)
+            batch_stats[path + ('norm', 'mean')] = jnp.array(arr)
         elif kind == 'var':
-            batch_stats[path + ('norm', 'var')] = jnp.asarray(arr)
+            batch_stats[path + ('norm', 'var')] = jnp.array(arr)
 
     out = {'params': traverse_util.unflatten_dict(params)}
     if batch_stats:

@@ -111,12 +111,20 @@ def per_slice_losses(output, target, cfg: LossConfig):
     :param output (N, C): raw decoder output post squash/clamp (density stays logit).
     :param target (N, 6): (density, R, G, B, mark_track, segm).
     :return dict of scalar losses (None-semantics handled by weights in total_loss).
+
+    Zero-weight terms are never computed (static branch), exactly like the
+    reference's `[] if lw > 0 else None` gating (loss.py:215-219). This is not
+    just an optimization: with segmentation off the decoder has NO segm
+    channels, so `output[..., -semantic_classes:]` would read density/color
+    channels as logits — and a garbage CE can go NaN, which poisons
+    `total_loss` through 0 * NaN and trips the train step's finite-grad skip.
     '''
+    z = jnp.zeros((), jnp.float32)
     return dict(
-        dens=_density_loss(output, target),
-        rgb=_color_loss(output, target, cfg),
-        segm=_segm_loss(output, target, cfg),
-        track=_track_loss(output, target, cfg),
+        dens=_density_loss(output, target) if cfg.density_lw > 0 else z,
+        rgb=_color_loss(output, target, cfg) if cfg.color_lw > 0 else z,
+        segm=_segm_loss(output, target, cfg) if cfg.segmentation_lw > 0 else z,
+        track=_track_loss(output, target, cfg) if cfg.tracking_lw > 0 else z,
     )
 
 

@@ -41,7 +41,7 @@ def test_density_loss_matches_bce():
 def test_color_loss_rgb_masked_l1():
     rng = np.random.RandomState(1)
     out, tgt = _make_data(rng)
-    cfg = LossConfig(color_mode='rgb')
+    cfg = LossConfig(color_mode='rgb', color_lw=1.0)
     got = float(per_slice_losses(jnp.asarray(out), jnp.asarray(tgt), cfg)['rgb'])
     mask = (tgt[:, 0] >= 0.1) & (tgt[:, 1] >= 0.0)
     expect = np.abs(out[mask][:, 1:4] - tgt[mask][:, 1:4]).mean()
@@ -76,7 +76,7 @@ def test_segm_loss_masked_ce():
 def test_color_loss_hsv_components():
     rng = np.random.RandomState(4)
     out, tgt = _make_data(rng, d_out=16)  # 1 + 14 + 1 track.
-    cfg = LossConfig(color_mode='hsv')
+    cfg = LossConfig(color_mode='hsv', color_lw=1.0)
     got = float(per_slice_losses(jnp.asarray(out), jnp.asarray(tgt), cfg)['rgb'])
     # Oracle: transcription of loss.py:85-115.
     mask = (tgt[:, 0] >= 0.1) & (tgt[:, 1] >= 0.0)
@@ -102,7 +102,7 @@ def test_color_loss_hsv_components():
 def test_color_loss_bins_runs():
     rng = np.random.RandomState(5)
     out, tgt = _make_data(rng, d_out=11)  # 1 + 9 + 1.
-    cfg = LossConfig(color_mode='bins')
+    cfg = LossConfig(color_mode='bins', color_lw=1.0)
     got = float(per_slice_losses(jnp.asarray(out), jnp.asarray(tgt), cfg)['rgb'])
     assert np.isfinite(got) and got > 0
 

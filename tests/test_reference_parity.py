@@ -633,3 +633,280 @@ def test_sampler_statistical_parity_carla(ref, bias):
         f_ref = float(np.isin(rst[:, 5], (4, 10)).mean())
         f_our = float(np.isin(ost[:, 5], (4, 10)).mean())
         assert abs(f_ref - f_our) < 0.12, (f_ref, f_our)
+
+
+# ------------------------------------------------------- lockstep training --
+# The last unpinned correctness surface (round-4 verdict #1): forwards, losses
+# and sampler distributions are oracle-tested above, but nothing asserted that
+# a full backward + clip + AdamW step through THIS repo matches
+# `loss.backward(); clip_grad_norm_(0.2); AdamW.step()` on the reference
+# (/root/reference/train.py:103-122, 313-314) from identical weights and
+# identical supervision. These tests bypass both samplers with the same fixed
+# query/target tensors and run the repo's OWN production train step
+# (train.build_optimizer + train.make_train_step, sampler stubbed) in lockstep
+# with the reference's torch step for several iterations.
+
+import jax  # noqa: E402
+
+from occlusions4d_tpu.pipeline import PipelineConfig, TrainPipeline  # noqa: E402
+from occlusions4d_tpu.sampler import SamplerConfig  # noqa: E402
+from occlusions4d_tpu.train import build_optimizer, make_train_step  # noqa: E402
+from occlusions4d_tpu.config import TrainConfig  # noqa: E402
+
+
+class _FixedSampler:
+    '''Drop-in for GuidedPointSampler.sample_frame returning fixed per-frame
+    supervision (constants broadcast over the vmapped batch axis).'''
+
+    def __init__(self, queries, targets, n_solid):
+        self.q, self.t, self.n_solid = queries, targets, n_solid
+
+    def sample_frame(self, key, tgt, tgt_valid, other, other_valid, valo_ids,
+                     num_valo_ids, time_idx):
+        t = int(time_idx)
+        q = jnp.asarray(self.q[t])
+        tg = jnp.asarray(self.t[t])
+        S = self.n_solid
+        return dict(solid_input=q[:S], air_input=q[S:],
+                    solid_target=tg[:S], air_target=tg[S:],
+                    solid_sbs=jnp.zeros((6,), jnp.float32),
+                    air_sbs=jnp.zeros((4,), jnp.float32),
+                    ok=jnp.asarray(True))
+
+
+def _lockstep_supervision(T, n_q, color_mode, semantic_classes, seed=3):
+    '''Fixed (queries, targets) per frame exercising every loss mask: mixed
+    solid/air density, ~30% color-unavailable rows, track in {-1, 0, 1},
+    segm in [-1, S).'''
+    rng = np.random.RandomState(seed)
+    q = np.concatenate([
+        (rng.rand(T, n_q, 3) * 4.0 - 2.0).astype(np.float32),
+        np.tile(np.arange(T, dtype=np.float32)[:, None, None], (1, n_q, 1))],
+        axis=-1)
+    tgt = np.zeros((T, n_q, 6), np.float32)
+    tgt[..., 0] = (rng.rand(T, n_q) < 0.5).astype(np.float32)
+    rgb = rng.rand(T, n_q, 3).astype(np.float32)
+    rgb[rng.rand(T, n_q) < 0.3] = -1.0
+    tgt[..., 1:4] = rgb
+    track = (rng.rand(T, n_q) < 0.5).astype(np.float32)
+    tgt[..., 4] = np.where(rng.rand(T, n_q) < 0.25, -1.0, track)
+    tgt[..., 5] = rng.randint(-1, semantic_classes, (T, n_q))
+    return q, tgt
+
+
+def _torch_train_steps(ref, tenc, tdec, pcl, queries, targets, lws, color_mode,
+                       semantic_classes, n_steps, lr):
+    '''The reference's exact step: forward (pipeline.py:179-212 squash) ->
+    MyLosses.per_example + lambda-weighted total (loss.py:196-294) ->
+    backward -> clip_grad_norm_(0.2) -> AdamW(wd 1e-2, eps 1e-8)
+    (train.py:103-122, 313-314).'''
+    T, n_q = queries.shape[:2]
+    B = pcl.shape[0]
+    tenc.train()
+    tdec.train()
+    all_params = list(tenc.parameters()) + list(tdec.parameters())
+    opt = torch.optim.AdamW(all_params, lr=lr, weight_decay=1e-2, eps=1e-8)
+    ml = ref.loss.MyLosses('train', _ScalarSink(), False, lws['color'],
+                           lws['density'], lws['segmentation'], lws['tracking'],
+                           color_mode, semantic_classes, T, 0)
+    stub_tgt = [torch.zeros(B, 8, 9) for _ in range(T)]
+    stub_sz = [[4] * B for _ in range(T)]
+    losses = []
+    for _ in range(n_steps):
+        opt.zero_grad()
+        t_abs, t_global, _ = tenc(torch.from_numpy(pcl), False)
+        outs, tgts = [], []
+        for t in range(T):
+            q = torch.from_numpy(np.repeat(queries[t][None], B, axis=0))
+            o, _ = tdec(q, t_abs, t_global, None)
+            # Reference squash (pipeline.py:199-212), replicated verbatim.
+            if color_mode == 'rgb':
+                o[..., 1:4] = torch.sigmoid(o[..., 1:4])
+            elif color_mode == 'rgb_nosigmoid':
+                o[..., 1:4] = torch.clamp(o[..., 1:4].clone(), min=0.0, max=1.0)
+            elif color_mode == 'hsv':
+                o[..., 13:15] = torch.clamp(o[..., 13:15].clone(), min=0.0,
+                                            max=1.0)
+            outs.append(o)
+            tgts.append(torch.from_numpy(np.repeat(targets[t][None], B, axis=0)))
+        l_rgb, l_dens, l_segm, l_track = ml.per_example(stub_tgt, stub_sz,
+                                                        outs, tgts)
+        total = torch.zeros(())
+        for val, w in ((l_rgb, lws['color']), (l_dens, lws['density']),
+                       (l_segm, lws['segmentation']), (l_track, lws['tracking'])):
+            if torch.is_tensor(val):
+                total = total + val * w
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(all_params, 0.2)
+        opt.step()
+        losses.append(float(total.detach()))
+    return losses
+
+
+def _jax_train_steps(encoder, decoder, enc_vars, dec_vars, pcl, queries,
+                     targets, lws, color_mode, semantic_classes, n_steps, lr,
+                     n_solid):
+    '''The repo's production step: TrainPipeline (sampler stubbed) +
+    build_optimizer + make_train_step.'''
+    T = queries.shape[0]
+    pcfg = PipelineConfig(color_mode=color_mode,
+                          semantic_classes=semantic_classes, past_frames=T,
+                          future_frames=0, density_lw=lws['density'],
+                          color_lw=lws['color'],
+                          segmentation_lw=lws['segmentation'],
+                          tracking_lw=lws['tracking'])
+    pipeline = TrainPipeline(encoder, decoder, SamplerConfig(),
+                             pcfg, remat=True, fused_decoder='off')
+    pipeline.sampler = _FixedSampler(queries, targets, n_solid)
+    cfg = TrainConfig(learn_rate=lr, num_epochs=20, lr_decay=0.5,
+                      gradient_clip=0.2, mixed_precision=False)
+    tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
+    params = dict(encoder=enc_vars, decoder=dec_vars)
+    state = dict(params=params, opt_state=tx.init(params),
+                 step=jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(pipeline, tx)
+    B = pcl.shape[0]
+    M = 8
+    batch = dict(
+        pcl_input=jnp.asarray(pcl),
+        pcl_target=jnp.zeros((B, T, M, 9), jnp.float32),
+        pcl_target_valid=jnp.ones((B, T, M), bool),
+        valo_ids=jnp.zeros((B, 4), jnp.int32),
+        num_valo_ids=jnp.zeros((B,), jnp.int32))
+    losses = []
+    for i in range(n_steps):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics['total_loss']))
+    return losses, jax.tree_util.tree_map(np.asarray, state['params'])
+
+
+def _delta_report(initial_sd, final_sd_torch, final_vars_jax, net):
+    '''Per-layer (torch-keyed) deltas from both frameworks.'''
+    j_sd = checkpoint.export_torch_state_dict(final_vars_jax, net=net)
+    rows = {}
+    for k, v0 in initial_sd.items():
+        dt = final_sd_torch[k].detach().numpy() - v0
+        dj = j_sd[k] - v0
+        rows[k] = (dt, dj)
+    return rows
+
+
+def _run_lockstep(ref, enc_over, dec_over, lws, color_mode, S,
+                  n_steps=3, lr=1e-3, seed=3):
+    from occlusions4d_tpu.models.factory import decoder_out_channels
+    d_out = decoder_out_channels(color_mode, lws['segmentation'], S)
+    tenc, jenc, enc_vars = _encoder_pair(ref, **enc_over)
+    tdec, jdec, dec_vars = _decoder_pair(ref, d_out=d_out, **dec_over)
+    init_enc_sd = {k: v.detach().numpy().copy()
+                   for k, v in tenc.state_dict().items()}
+    init_dec_sd = {k: v.detach().numpy().copy()
+                   for k, v in tdec.state_dict().items()}
+
+    rng = np.random.RandomState(seed)
+    pcl = (rng.rand(1, 512, 8) * 2.0 - 1.0).astype(np.float32)
+    queries, targets = _lockstep_supervision(2, 256, color_mode, S, seed=seed)
+
+    t_losses = _torch_train_steps(ref, tenc, tdec, pcl, queries, targets, lws,
+                                  color_mode, S, n_steps, lr)
+    j_losses, j_params = _jax_train_steps(jenc, jdec, enc_vars, dec_vars, pcl,
+                                          queries, targets, lws, color_mode, S,
+                                          n_steps, lr, n_solid=128)
+
+    # Loss trajectories track within f32 forward tolerance.
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-4, atol=2e-5)
+    assert t_losses[-1] < t_losses[0], \
+        f'reference loss did not descend: {t_losses}'
+
+    # Per-layer parameter deltas match. AdamW's step-1 update is ~sign(g)*lr
+    # elementwise, so isolated near-zero-gradient elements are sign-unstable
+    # under 1e-7-level f32 forward differences; the per-layer delta DIRECTION
+    # and MAGNITUDE are the meaningful lockstep invariants.
+    rows = {}
+    rows.update(_delta_report(init_enc_sd, tenc.state_dict(),
+                              {'params': j_params['encoder']['params']}, 'encoder'))
+    rows.update(_delta_report(init_dec_sd, tdec.state_dict(),
+                              {'params': j_params['decoder']['params']}, 'decoder'))
+    worst = []
+    for k, (dt, dj) in rows.items():
+        nt = float(np.linalg.norm(dt))
+        rel = float(np.linalg.norm(dj - dt) / max(nt, 1e-12))
+        cos = float((dt * dj).sum() /
+                    max(np.linalg.norm(dt) * np.linalg.norm(dj), 1e-24))
+        worst.append((rel, 1.0 - cos, k, nt))
+    worst.sort(reverse=True)
+    all_t = np.concatenate([dt.ravel() for dt, _ in rows.values()])
+    all_j = np.concatenate([dj.ravel() for _, dj in rows.values()])
+    global_rel = float(np.linalg.norm(all_j - all_t) / np.linalg.norm(all_t))
+    return worst, t_losses, j_losses, global_rel
+
+
+def _assert_lockstep_deltas(worst, t_losses, j_losses, global_rel):
+    '''Measured behavior (3 AdamW steps, f32): the whole-model delta vector
+    matches to global rel ~1e-4; per layer, every real-gradient layer matches
+    to rel < 4e-3 with 1-cos < 1e-5 (AdamW's step-1 update is ~sign(g)*lr
+    elementwise, so isolated near-zero-gradient ELEMENTS are sign-unstable
+    under 1e-7-level f32 forward differences — a few flips in a small bias
+    show up as ~0.3% of its delta norm while the direction stays parallel).
+    The only near-zero-delta LAYERS are the attention MLPs' final biases,
+    whose gradient is EXACTLY zero (the per-channel softmax is
+    shift-invariant in its logits' bias), so their delta is pure weight decay
+    + Adam-eps-scale noise — compared absolutely (max observed 1.9e-6).'''
+    assert global_rel < 5e-4, (global_rel, t_losses, j_losses)
+    for rel, one_minus_cos, k, nt in worst:
+        if nt < 5e-5:
+            assert rel * nt < 5e-6, (k, rel, nt, t_losses, j_losses)
+        else:
+            assert rel < 5e-3 and one_minus_cos < 1e-4, \
+                (k, rel, one_minus_cos, nt, t_losses, j_losses)
+
+
+def test_lockstep_training_parity_gv1_shape(ref):
+    '''2-3 full backward+clip+AdamW steps match the torch reference from a
+    shared init on the gv1-shaped objective (rgb_nosigmoid, tracking on,
+    segmentation off; /root/reference/train.py:103-122).'''
+    lws = dict(density=1.0, color=1.0, segmentation=0.0, tracking=1.0)
+    worst, t_losses, j_losses, global_rel = _run_lockstep(
+        ref, dict(pt_norm_type='none', abstract_levels=1),
+        dict(d_latent_local=32, d_hidden=64, d_latent=64), lws,
+        'rgb_nosigmoid', 13)
+    _assert_lockstep_deltas(worst, t_losses, j_losses, global_rel)
+
+
+def test_lockstep_training_parity_cv1_shape(ref, monkeypatch):
+    '''Same lockstep assertion on the cv1-shaped objective (layer norm,
+    abstract_levels=2, hsv color, segmentation on). Tie-stable kNN stubs on
+    the torch side as in test_end_to_end_field_parity_levels2 (duplicate
+    abstract coords make torch.topk tie-breaks implementation-defined).'''
+
+    def _tie_stable_my_knn(pcl_query, pcl_key, num_neighbors, bidirectional=False,
+                           return_inds=False, return_knn=True, return_dists=False):
+        assert not bidirectional
+        d, idx = knn_host(pcl_query.detach().cpu().numpy(),
+                          pcl_key.detach().cpu().numpy(), num_neighbors)
+        idx_t = torch.from_numpy(idx.astype(np.int64))
+        result = ()
+        if return_inds:
+            result += (idx_t,)
+        if return_knn:
+            result += (pcl_key[idx_t],)
+        if return_dists:
+            result += (torch.from_numpy(d.astype(np.float32)),)
+        return result
+
+    def _tie_stable_kNN_torch(query, dataset, k):
+        out = []
+        for b in range(query.shape[0]):
+            _, idx = knn_host(query[b].detach().cpu().numpy(),
+                              dataset[b].detach().cpu().numpy(), k)
+            out.append(idx.astype(np.int64))
+        return torch.from_numpy(np.stack(out))
+
+    monkeypatch.setattr(ref.geometry, 'my_knn_torch', _tie_stable_my_knn)
+    monkeypatch.setattr(sys.modules['point_transformer_layer'], 'kNN_torch',
+                        _tie_stable_kNN_torch)
+
+    lws = dict(density=1.0, color=1.0, segmentation=0.6, tracking=1.0)
+    worst, t_losses, j_losses, global_rel = _run_lockstep(
+        ref, dict(pt_norm_type='layer', abstract_levels=2),
+        dict(d_latent_local=32, d_hidden=64, d_latent=64), lws, 'hsv', 13)
+    _assert_lockstep_deltas(worst, t_losses, j_losses, global_rel)
