@@ -174,6 +174,82 @@ def _loader_overlap_bench(cfg, batch_size=4, steps=6):
         val_loader.close()
 
 
+def _eval_overlap_bench(cfg, enc_args, dec_args, params, num_sample=524288):
+    '''End-to-end PRODUCTION eval-loop throughput (VERDICT r4 item 2: the
+    dense-eval headline is encode+decode only; a real test_driver step adds
+    track reruns, host 1-NN GT labels, metrics, compress_air, and pcl_io
+    pickle export). Saves the bench models as a native checkpoint, then runs
+    the full CLI path (load_models -> backfill -> test loader -> run_test with
+    track_mode=all + save_metrics + save_gt + store_pcl) over `steps` synthetic
+    gv1-scale scenes and reports scenes/hour + the measured phase split.'''
+    import dataclasses
+    import shutil
+
+    from occlusions4d_tpu import checkpoint as ckpt_lib
+    from occlusions4d_tpu.config import test_args as parse_test_args
+    from occlusions4d_tpu.data import synthetic
+    from occlusions4d_tpu.data.loader import _train_dset_args
+    from occlusions4d_tpu.evaluate import test_driver
+    from occlusions4d_tpu.utils.logvis import StepLogger
+
+    root = '/tmp/o4d_bench_greater'
+    if not os.path.isdir(os.path.join(root, 'train')):
+        synthetic.make_greater_dataset(root, num_scenes=2,
+                                       stages=('train', 'val'),
+                                       num_views=3, num_frames=24,
+                                       image_size=320)
+    # Checkpoint in the exact Trainer.save layout so load_models rebuilds the
+    # engine from stored ctor args (the production resume path).
+    ckpt_dir = '/tmp/o4d_bench_eval_ckpt'
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    train_cfg = dataclasses.replace(cfg, data_path=root)
+    logger = StepLogger(context='bench_eval')
+    import logging
+    import sys
+    for h in logger.logger.handlers:
+        if type(h) is logging.StreamHandler:
+            h.setStream(sys.stderr)
+    meta = dict(config=vars(train_cfg), encoder_args=enc_args,
+                decoder_args=dec_args,
+                sampler_args={}, data_kind='greater',
+                dset_args=_train_dset_args(train_cfg, 'greater', logger))
+    ckpt_lib.save_checkpoint(ckpt_dir, 0, {'params': params}, meta=meta)
+
+    out_dir = '/tmp/o4d_bench_eval_logs'
+    shutil.rmtree(out_dir, ignore_errors=True)
+    targs = parse_test_args([
+        '--resume', ckpt_dir, '--data_path', os.path.join(root, 'val'),
+        '--num_sample', str(num_sample), '--point_sample_mode', 'grid',
+        '--implicit_batch_size', '32768', '--track_mode', 'all',
+        '--save_metrics', 'true', '--save_gt', 'true',
+        '--use_json', 'false', '--num_workers', '1', '--seed', '5',
+        '--log_path', os.path.join(out_dir, 'run'),
+        '--use_data_frac', '0.08',
+    ])
+    t0 = time.time()
+    summary = test_driver.main(targs, logger=logger)
+    wall = time.time() - t0
+    split = summary['phase_split_s']
+    frames_per_scene = cfg.past_frames + cfg.future_frames
+    n_scenes = max(len(summary['per_frame']) // frames_per_scene, 1)
+    device_s = split.get('device_infer', 0.0)
+    accounted = sum(v for k, v in split.items() if k != 'infer_wall')
+    return {
+        # Wall includes the (persistent-cache) first-frame compile loads;
+        # steady-state per-scene cost is the phase-split sum / n_scenes.
+        'eval_s_per_scene': round(wall / n_scenes, 2),
+        'scenes_per_hour': round(3600.0 * n_scenes / wall, 1),
+        'num_sample': num_sample,
+        'n_scenes': n_scenes,
+        'track_reruns_mean': summary['track_reruns_mean'],
+        'frames_per_scene': frames_per_scene,
+        'device_pct_of_accounted': round(device_s / max(accounted, 1e-9)
+                                         * 100.0, 1),
+        'phase_split_s': split,
+        'wall_s': round(wall, 2),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -297,6 +373,17 @@ def main():
             import sys
             print(f'loader-overlap extra failed: {exc!r}', file=sys.stderr)
 
+    _progress('end-to-end production eval loop (track reruns + host post)')
+    eval_stats = None
+    if time.time() - _T0 <= _TRAIN_DEADLINE_S:
+        try:
+            eval_stats = _eval_overlap_bench(
+                cfg, enc_args, dec_args,
+                dict(encoder=enc_vars, decoder=dec_vars))
+        except Exception as exc:
+            import sys
+            print(f'eval-overlap extra failed: {exc!r}', file=sys.stderr)
+
     result = {
         'metric': 'dense_scene_524288_grid_queries_latency',
         'value': round(scene_s * 1000.0, 1),
@@ -317,6 +404,8 @@ def main():
             # the soft deadline or a failed extra). NOTE this container has
             # one CPU core; implied_loader_cores is the production budget.
             'loader_overlap': loader_stats,
+            # Full production eval loop (None = skipped/failed extra).
+            'eval_overlap': eval_stats,
             'output_checksum': float(jnp.mean(out)),  # device-side reduce.
         },
     }

@@ -95,7 +95,7 @@ class CarlaDataset:
                  min_z=-1.0, other_bounds=20.0, target_bounds=16.0, cube_mode=4,
                  oversample_vehped_target=False, use_data_frac=1.0,
                  use_json=True, verbose=False, live_occl_mode='normal', seed=None,
-                 return_images=False, shared_counters=False):
+                 return_images=False, shared_counters=False, track_mode='none'):
         self.dataset_root = dataset_root
         self.logger = logger
         self.stage = stage
@@ -119,6 +119,7 @@ class CarlaDataset:
         self.use_data_frac = use_data_frac
         self.use_json = use_json
         self.verbose = verbose
+        self.track_mode = track_mode
         self.live_occl_mode = live_occl_mode
         self.return_images = return_images
         self.allow_random_frames = True
@@ -396,11 +397,31 @@ class CarlaDataset:
             sem_inst_col=1, sem_cat_col=2, merged_inst_col=0, pcl_inst_col=4,
             max_valo_ids=MAX_VALO_IDS)
 
-        # Stub mark_track (data_carla.py:615-623).
-        pcl_input = np.concatenate([pcl_input, np.zeros_like(pcl_input[:, 0:1])],
-                                   axis=-1)                          # (N, 8).
-        pcl_target = [np.concatenate([f, np.zeros_like(f[:, 0:1])], axis=-1)
-                      for f in pcl_target]                           # (M, 11).
+        # mark_track channel. The reference STUBS it to zeros for CARLA
+        # (data_carla.py:615-623), so its CARLA models never learn tracking.
+        # track_mode='random' is this framework's extension: mirror the GREATER
+        # marking semantics (data_greater.py:528-567) using CARLA's instance
+        # column — mark one random first-input-frame-visible instance
+        # (>= 16 points) in the input, supervise target marks by instance
+        # membership — which makes the track head genuinely learnable and
+        # enables multi-instance track_mode='all' eval reruns on CARLA.
+        track_id = -1
+        input_track = np.zeros_like(pcl_input[:, 0:1])
+        target_track = [np.zeros_like(f[:, 0:1]) for f in pcl_target]
+        if self.track_mode != 'none':
+            assert self.track_mode == 'random', self.track_mode
+            first_sem = pcl_input_sem[pcl_input[:, -1] == 0]
+            vis_ids = [int(i) for i in np.unique(first_sem[:, 1].astype(np.int32))
+                       if i >= 0 and (first_sem[:, 1] == i).sum() >= 16]
+            if vis_ids:
+                track_id = int(rng.choice(vis_ids))
+                mark = (pcl_input_sem[:, 1] == track_id) & (pcl_input[:, -1] == 0)
+                input_track[mark] = 1.0
+                for i in range(self.pcl_target_frames):
+                    target_track[i][pcl_target[i][:, 4] == track_id] = 1.0
+        pcl_input = np.concatenate([pcl_input, input_track], axis=-1)  # (N, 8).
+        pcl_target = [np.concatenate([f, tt], axis=-1)
+                      for f, tt in zip(pcl_target, target_track)]      # (M, 11).
 
         valid = np.zeros((self.pcl_target_frames, tgt_cap), bool)
         for t, size in enumerate(pcl_target_size):
@@ -422,7 +443,7 @@ class CarlaDataset:
                 view_sensor_matching=VIEW_SENSOR_MATCHING,
                 occl_frame_idx=occl_frame_idx, found_occl_rate=found_rate,
                 valo_ids=valo_pad, num_valo_ids=num_valo, live_occl=live_occl,
-                track_id=-1,
+                track_id=track_id,
                 cuboid_filter_ratios=np.asarray(cuboid_filter_ratios, np.float32),
                 sample_input_ratios=np.asarray(sample_input_ratios, np.float32),
                 sample_target_ratios=np.asarray(sample_target_ratios, np.float32)),

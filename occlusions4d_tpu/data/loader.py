@@ -230,7 +230,11 @@ def _train_dset_args(cfg, data_kind, logger):
         base.update(reference_frame=reference_frame,
                     correct_origin_ground=cfg.correct_origin_ground,
                     target_bounds=cfg.cr_cube_bounds, cube_mode=cfg.cube_mode,
-                    oversample_vehped_target=cfg.oversample_vehped_target)
+                    oversample_vehped_target=cfg.oversample_vehped_target,
+                    # Extension beyond the reference's zero-stub marks
+                    # (data_carla.py:615-623): GREATER-style random-instance
+                    # track supervision when the tracking objective is on.
+                    track_mode='random' if cfg.tracking_lw > 0.0 else 'none')
     else:
         assert cfg.sample_bias in ('none', 'occl')
         base.update(convert_to_pcl=True, return_segm=True,
@@ -288,6 +292,11 @@ def create_test_loader(cfg, dset_args, logger):
     data_kind = 'carla' if 'carla' in cfg.data_path.lower() else 'greater'
     if data_kind == 'carla':
         dset_args['oversample_vehped_target'] = False
+        # Same test-time semantics as GREATER: 'all' is handled by inference
+        # reruns, so the dataset itself must not mark (stored train dset_args
+        # may carry track_mode='random').
+        if cfg.track_mode in ('none', 'all'):
+            dset_args['track_mode'] = 'none'
         dset = CarlaDataset(cfg.data_path, logger, stage='test', seed=cfg.seed,
                             **dset_args)
     else:

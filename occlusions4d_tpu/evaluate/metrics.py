@@ -120,6 +120,12 @@ def frame_metrics(output_solid, output_air, target, data_kind='greater',
                 gt_inst = nn_rows[:, cols['inst']]
                 det = pred_mark >= 0.0
                 sup = gt_inst >= 0.0
+                if data_kind == 'carla':
+                    # CARLA 'all'-mode reruns cover only vehped instances
+                    # (semantic 4/10, inference.py rerun selection): score
+                    # identity over those — a road query can still hurt
+                    # precision if a vehped id is wrongly assigned to it.
+                    sup &= np.isin(nn_rows[:, cols['segm']], (4, 10))
                 correct = float((det & sup & (pred_mark == gt_inst)).sum())
                 if det.any() or sup.any():
                     out['tracking_precision'] = correct / max(float(det.sum()),

@@ -42,12 +42,25 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
     exports the decoder's penultimate activations of predicted-solid queries
     (activations_s{step}.p) -- both flags were declared but dead in the reference
     (/root/reference/eval/test.py:73,92,113; args.py:345-348).'''
+    from ..utils.profiling import PhaseTimer
     log_folder = 'test_' + args.test_tag
     rng = np.random.RandomState(args.seed)
     all_metrics = []
     start = time.time()
+    # Per-phase wall split of the production eval loop (data / device infer /
+    # host 1-NN / metrics / export) — readable afterwards via
+    # logger.last_eval_timer and summarized into metrics.json + the bench's
+    # eval_overlap extra.
+    timer = PhaseTimer()
+    logger.last_eval_timer = timer
+    n_reruns = []
 
-    for cur_step, batch in enumerate(loader.epoch(0)):
+    batches = iter(loader.epoch(0))
+    for cur_step in range(10 ** 9):
+        with timer.phase('data'):
+            batch = next(batches, None)
+        if batch is None:
+            break
         if cur_step == 0:
             logger.info(f'First data iteration took {time.time() - start:.3f}s')
         meta = batch['meta_data'][0]
@@ -64,32 +77,42 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
             tgt_frame = pcl_target[time_idx][tgt_valid[time_idx]]
             tgt_for_inference = tgt_frame if args.save_gt else None
 
-            inf = perform_inference(
-                pcl_input, sem_for_inference, tgt_for_inference, engine,
-                args.min_z, args.cr_cube_bounds, args.color_mode, time_idx, logger,
-                sample_implicit=args.sample_implicit, num_sample=args.num_sample,
-                point_sample_mode=args.point_sample_mode,
-                predict_segmentation=args.segmentation_lw > 0.0,
-                track_mode=args.track_mode,
-                point_occupancy_radius=args.point_occupancy_radius,
-                semantic_classes=args.semantic_classes,
-                density_threshold=args.density_threshold, data_kind=data_kind,
-                cube_mode=args.cube_mode, compress_air=True, rng=rng,
-                store_activations=args.store_activations)
+            with timer.phase('infer_wall'):
+                inf = perform_inference(
+                    pcl_input, sem_for_inference, tgt_for_inference, engine,
+                    args.min_z, args.cr_cube_bounds, args.color_mode, time_idx,
+                    logger,
+                    sample_implicit=args.sample_implicit,
+                    num_sample=args.num_sample,
+                    point_sample_mode=args.point_sample_mode,
+                    predict_segmentation=args.segmentation_lw > 0.0,
+                    track_mode=args.track_mode,
+                    point_occupancy_radius=args.point_occupancy_radius,
+                    semantic_classes=args.semantic_classes,
+                    density_threshold=args.density_threshold,
+                    data_kind=data_kind,
+                    cube_mode=args.cube_mode, compress_air=True, rng=rng,
+                    store_activations=args.store_activations)
+            for name in ('device_infer', 'gt_nn1', 'host_post'):
+                timer.totals[name] += inf['phase_s'][name]
+                timer.counts[name] += 1
+            n_reruns.append(inf['phase_s']['track_reruns'])
 
             if args.save_metrics:
                 from .metrics import frame_metrics
-                m = frame_metrics(
-                    inf['output_solid'], inf['output_air'], tgt_frame, data_kind,
-                    args.point_occupancy_radius, args.color_mode,
-                    args.segmentation_lw > 0.0, args.semantic_classes,
-                    mark_is_instance_id=inf['mark_is_instance_id'])
+                with timer.phase('metrics'):
+                    m = frame_metrics(
+                        inf['output_solid'], inf['output_air'], tgt_frame,
+                        data_kind, args.point_occupancy_radius, args.color_mode,
+                        args.segmentation_lw > 0.0, args.semantic_classes,
+                        mark_is_instance_id=inf['mark_is_instance_id'])
                 m.update(step=cur_step, time_idx=time_idx)
                 all_metrics.append(m)
             if args.store_activations and 'penult_solid' in inf:
                 activations.append(inf['penult_solid'])
 
             if cur_step % 4 == 0:
+              with timer.phase('histograms'):
                 logger.report_implicit_histograms(
                     'test', inf['implicit_output'], args.color_mode, time_idx,
                     args.segmentation_lw > 0.0, args.semantic_classes,
@@ -107,11 +130,13 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
                 record = record + (np.asarray(pcl_input_sem), inf['points_query'])
             pcl_all.append(record)
 
-        if args.store_pcl:
-            logger.save_pickle(pcl_all, f'pcl_io_s{cur_step}.p', folder=log_folder)
-        if args.store_activations and activations:
-            logger.save_pickle(activations, f'activations_s{cur_step}.p',
-                               folder=log_folder)
+        with timer.phase('export'):
+            if args.store_pcl:
+                logger.save_pickle(pcl_all, f'pcl_io_s{cur_step}.p',
+                                   folder=log_folder)
+            if args.store_activations and activations:
+                logger.save_pickle(activations, f'activations_s{cur_step}.p',
+                                   folder=log_folder)
 
         logger.report_scalar('test/pcl_input_size', pcl_input.shape[0], step=cur_step)
         logger.report_scalar('test/pcl_output_size', inf['output_solid'].shape[0],
@@ -120,9 +145,11 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
                              step=cur_step)
         logger.report_histogram('test/features_global', inf['features_global'],
                                 step=cur_step)
-        logger.save_pickle((meta, batch.get('cam_RT'), batch.get('cam_K')),
-                           f'metadata_s{cur_step}.p', folder=log_folder)
+        with timer.phase('export'):
+            logger.save_pickle((meta, batch.get('cam_RT'), batch.get('cam_K')),
+                               f'metadata_s{cur_step}.p', folder=log_folder)
 
+    timer.report(logger, prefix='[test] ')
     if args.save_metrics and all_metrics:
         import json
         # Union of keys across frames: a frame can lack a metric entirely
@@ -138,6 +165,10 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
         summary = dict(mean=agg, per_frame=[
             {k: (float(v) if np.isfinite(v) else None) for k, v in m.items()}
             for m in all_metrics])
+        summary['phase_split_s'] = {k: round(v[0], 3)
+                                    for k, v in timer.summary().items()}
+        summary['track_reruns_mean'] = (float(np.mean(n_reruns))
+                                        if n_reruns else 0.0)
         fp = os.path.join(logger._artifact_dir('pickle', log_folder),
                           'metrics.json')
         with open(fp, 'w') as f:

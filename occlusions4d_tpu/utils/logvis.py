@@ -34,6 +34,7 @@ class Logger:
         self.wandb = None
         self.scalar_memory = {}          # name -> list of values (deferred commit).
         self.scalar_memory_hist = set()  # names committed as histograms.
+        self.scalar_history = []         # per-epoch committed means (scalars.json).
         self._initialized = False
 
         self.logger = logging.getLogger(f'o4d.{context}.{id(self):x}')
@@ -114,7 +115,18 @@ class Logger:
             self.wandb.log({name: self.wandb.Histogram(np.asarray(values))}, step=step)
 
     def epoch_finished(self, epoch):
-        self.commit_scalars(step=epoch)
+        out = self.commit_scalars(step=epoch)
+        # Persist the per-epoch committed means: the file-mode equivalent of
+        # the reference's wandb scalar timeline (logvis.py:133-151), and the
+        # source of the committed convergence trajectory artifact
+        # (tools/make_convergence_artifact.py). scalar_history survives in
+        # memory for programmatic consumers (train.main returns the trainer).
+        self.scalar_history.append(
+            dict({k: v for k, v in out.items() if not k.endswith('_hist')},
+                 epoch=epoch))
+        if self.log_dir is not None:
+            with open(os.path.join(self.log_dir, 'scalars.json'), 'w') as f:
+                json.dump(self.scalar_history, f, indent=1)
 
     # -- artifacts -------------------------------------------------------------------
 

@@ -400,3 +400,39 @@ def test_subsample_pad_fused_shuffle_bit_identical():
     pair(200, n_desired=300)                 # pad path.
     pair(300, n_desired=300)                 # exact-fit path.
     pair(5000, n_desired=300, mode='random', retain_vehped=True, segm_idx=5)
+
+
+def test_carla_track_marking(carla_root):
+    '''track_mode='random' (framework extension; the reference stubs CARLA
+    marks to zero, data_carla.py:615-623): one random first-frame-visible
+    instance is marked in the input, target marks equal instance membership,
+    and everything else is bit-identical to the stub mode.'''
+    kw = dict(video_length=4, frame_skip=3, n_points_rnd=2048, n_fps_input=512,
+              n_fps_target=-1024, pcl_input_frames=4, pcl_target_frames=2,
+              reference_frame=3, min_z=-0.5, other_bounds=20.0,
+              target_bounds=16.0, cube_mode=4, seed=3)
+    ds0 = CarlaDataset(carla_root, _logger(), stage='train',
+                       track_mode='none', **kw)
+    ds1 = CarlaDataset(carla_root, _logger(), stage='train',
+                       track_mode='random', **kw)
+    e0, e1 = ds0[0], ds1[0]
+    assert e0['meta_data']['track_id'] == -1
+    assert float(e0['pcl_input'][:, -1].sum()) == 0.0
+
+    tid = e1['meta_data']['track_id']
+    assert tid >= 0
+    pi, sem = e1['pcl_input'], e1['pcl_input_sem']
+    marked = pi[:, 7] > 0.5
+    assert marked.sum() >= 16
+    # Marks only in the first input frame and only on the tracked instance.
+    assert np.all(pi[marked, 6] == 0)
+    assert np.all(sem[marked, 1] == tid)
+    for t in range(2):
+        tgt = e1['pcl_target'][t][e1['pcl_target_valid'][t]]
+        np.testing.assert_array_equal(tgt[:, 10] > 0.5, tgt[:, 4] == tid)
+    # Non-mark columns identical across modes (per-(seed,epoch,index) rng:
+    # the extra track-id draw must not perturb the shared stream).
+    np.testing.assert_array_equal(e0['pcl_input'][:, :7], e1['pcl_input'][:, :7])
+    np.testing.assert_array_equal(e0['pcl_target'][..., :10],
+                                  e1['pcl_target'][..., :10])
+    np.testing.assert_array_equal(e0['pcl_input_sem'], e1['pcl_input_sem'])

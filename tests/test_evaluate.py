@@ -299,3 +299,33 @@ def test_query_sharded_decode_matches_single_device(setup):
     a8, g8 = eng8.encode(pcl_input)
     out8 = eng8.decode_all(queries, a8, g8)
     np.testing.assert_allclose(out8, out1, atol=1e-5, rtol=1e-5)
+
+
+def test_track_rerun_merge_carla_vehped(setup):
+    '''CARLA track_mode=all (framework extension; the reference asserts
+    data_kind==greater, eval/inference.py:152): reruns cover ONLY vehped
+    instances (semantic 4/10) drawn from the instance column, and the merged
+    mark column holds those ids or -1.'''
+    root, cfg, trainer = setup
+    loaded = load_models(cfg.output_path)
+    engine = InferenceEngine(loaded, color_mode='rgb_nosigmoid',
+                             predict_segmentation=False, semantic_classes=13,
+                             track_mode='all', implicit_batch_size=512,
+                             query_parallel=1)
+    rng = np.random.RandomState(2)
+    pcl_input = rng.rand(256, 8).astype(np.float32)
+    sem = np.zeros((256, 3), np.float32)           # (cos, inst, sem).
+    sem[:64, 1], sem[:64, 2] = 20.0, 10.0          # vehicle inst 20.
+    sem[64:128, 1], sem[64:128, 2] = 21.0, 4.0     # pedestrian inst 21.
+    sem[128:224, 1], sem[128:224, 2] = 0.0, 1.0    # road inst 0 (not vehped).
+    sem[224:, 1] = -1.0
+    res = perform_inference(pcl_input, sem, None, engine, min_z=-0.5,
+                            cube_bounds=16.0, color_mode='rgb_nosigmoid',
+                            time_idx=0, num_sample=512,
+                            point_sample_mode='random', track_mode='all',
+                            data_kind='carla', cube_mode=4, rng=rng)
+    assert res['mark_is_instance_id']
+    track_col = res['implicit_output'][:, 4]
+    # Only the two vehped instances were rerun: ids are 20/21/-1, never the
+    # (bigger) road instance 0.
+    assert set(np.unique(track_col)) <= {-1.0, 20.0, 21.0}
