@@ -413,8 +413,20 @@ class CarlaDataset:
             first_sem = pcl_input_sem[pcl_input[:, -1] == 0]
             vis_ids = [int(i) for i in np.unique(first_sem[:, 1].astype(np.int32))
                        if i >= 0 and (first_sem[:, 1] == i).sum() >= 16]
-            if vis_ids:
+            # Prefer vehped instances (semantic 4/10): CARLA tracking is about
+            # vehicles/pedestrians (the track_mode='all' eval reruns exactly
+            # those), and GREATER's analogue marks only OBJECT instances —
+            # marking road/wall/landmark ids would spend most of the
+            # curriculum on instances the eval never scores. Fall back to any
+            # visible instance when no vehped is in view.
+            veh_ids = [i for i in vis_ids
+                       if np.isin(first_sem[first_sem[:, 1] == i, 2],
+                                  (4, 10)).any()]
+            if veh_ids:
+                track_id = int(rng.choice(veh_ids))
+            elif vis_ids:
                 track_id = int(rng.choice(vis_ids))
+            if track_id >= 0:
                 mark = (pcl_input_sem[:, 1] == track_id) & (pcl_input[:, -1] == 0)
                 input_track[mark] = 1.0
                 for i in range(self.pcl_target_frames):

@@ -172,3 +172,24 @@ def test_phase_timer():
     assert 'a:' in t.report()
     t.reset()
     assert not t.totals
+
+
+def test_scalar_history_persists_per_epoch(tmp_path):
+    '''epoch_finished commits scalar-memory means into scalar_history and
+    logs/<tag>/scalars.json — the file-mode equivalent of the reference's
+    wandb scalar timeline (logvis.py:133-151) and the source of the committed
+    convergence trajectory.'''
+    import json
+    from occlusions4d_tpu.utils.logvis import Logger
+    logger = Logger(log_dir=str(tmp_path), context='t')
+    for e, vals in enumerate(([1.0, 3.0], [2.0])):
+        for v in vals:
+            logger.report_scalar('train/total_loss', v, remember=True)
+        logger.report_scalar('val_aug/total_loss', v + 1, remember=True)
+        logger.epoch_finished(e)
+    assert [r['epoch'] for r in logger.scalar_history] == [0, 1]
+    assert logger.scalar_history[0]['train/total_loss'] == 2.0  # mean.
+    assert logger.scalar_history[1]['train/total_loss'] == 2.0
+    assert logger.scalar_history[1]['val_aug/total_loss'] == 3.0
+    with open(os.path.join(str(tmp_path), 'scalars.json')) as f:
+        assert json.load(f) == logger.scalar_history
