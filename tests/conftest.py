@@ -27,13 +27,16 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
-# Persistent compilation cache: several tests build structurally identical tiny
-# trainers (fresh closures -> fresh jit caches), so XLA would recompile the same
-# HLO repeatedly on this 1-CPU host. The on-disk cache dedupes those within a run
-# and across runs (suite wall-clock drops ~2x warm; see VERDICT r1 item 10).
-_cache_dir = os.environ.get('O4D_TEST_CACHE',
-                            os.path.expanduser('~/.cache/o4d_jax_test_cache'))
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update('jax_compilation_cache_dir', _cache_dir)
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+# NO persistent compilation cache for the CPU suite (round 5, measured): the
+# XLA:CPU AOT loader stamps tuning pseudo-features (+prefer-no-scatter/gather)
+# into every cache entry and then rejects them against the RAW host feature
+# list on load — even a same-host round-trip fails, so every lookup pays a
+# failed deserialize plus a multi-KB E-log line and then recompiles anyway.
+# Opt into a cache dir explicitly via O4D_TEST_CACHE if a future jax release
+# fixes the loader.
+_cache_dir = os.environ.get('O4D_TEST_CACHE')
+if _cache_dir:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', _cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)

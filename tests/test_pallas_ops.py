@@ -70,17 +70,19 @@ def test_fused_attention_matches_module(rng):
     x2 = jnp.asarray(rng.rand(1, M, D2).astype(np.float32))
     pos2 = jnp.asarray(rng.rand(1, M, 3).astype(np.float32) * 2 - 1)
     mod = VectorAttention(dim=D, num_neighbors=K, dim2=D2)
-    variables = mod.init(jax.random.PRNGKey(0), x, pos, x2=x2, pos2=pos2)
+    variables = jax.jit(mod.init)(jax.random.PRNGKey(0), x, pos, x2=x2,
+                                  pos2=pos2)
     p = variables['params']
     args = (x @ p['to_q']['kernel'], pos, x2, pos2, p, K)
 
-    ref = np.asarray(mod.apply(variables, x, pos, x2=x2, pos2=pos2))
+    apply = jax.jit(mod.apply)  # jit: eager apply is dispatch-bound on CPU.
+    ref = np.asarray(apply(variables, x, pos, x2=x2, pos2=pos2))
     out = np.asarray(fused_knn_vector_attention(*args))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
 
     mask = jnp.asarray(rng.rand(1, M) > 0.4)
-    ref_m = np.asarray(mod.apply(variables, x, pos, x2=x2, pos2=pos2,
-                                 key_mask=mask))
+    ref_m = np.asarray(apply(variables, x, pos, x2=x2, pos2=pos2,
+                             key_mask=mask))
     out_m = np.asarray(fused_knn_vector_attention(*args, key_mask=mask))
     np.testing.assert_allclose(out_m, ref_m, atol=2e-5, rtol=1e-4)
 
@@ -101,9 +103,11 @@ def test_fused_field_matches_module(rng):
                              d_latent_local=E, cross_attn_neighbors=6,
                              cross_attn_layers=2, cr_attn_type='cc')
     assert supports_fused(dec)
-    variables = dec.init(jax.random.PRNGKey(1), q[:, :16], abstract, fg)
-    ref, ref_pen = dec.apply(variables, q, abstract, fg)
-    out, out_pen = fused_field_apply(dec, variables, q, abstract, fg)
+    variables = jax.jit(dec.init)(jax.random.PRNGKey(1), q[:, :16], abstract, fg)
+    ref, ref_pen = jax.jit(dec.apply)(variables, q, abstract, fg)
+    out, out_pen = jax.jit(
+        lambda v, qq, ab, f: fused_field_apply(dec, v, qq, ab, f))(
+            variables, q, abstract, fg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out_pen), np.asarray(ref_pen),
@@ -189,7 +193,8 @@ def test_fused_attention_grads_match_module(rng):
     x2 = jnp.asarray(rng.rand(1, M, D2).astype(np.float32) - 0.5)
     pos2 = jnp.asarray(rng.rand(1, M, 3).astype(np.float32) * 2 - 1)
     mod = VectorAttention(dim=D, num_neighbors=K, dim2=D2)
-    variables = mod.init(jax.random.PRNGKey(0), x, pos, x2=x2, pos2=pos2)
+    variables = jax.jit(mod.init)(jax.random.PRNGKey(0), x, pos, x2=x2,
+                                  pos2=pos2)
     w = jnp.asarray(rng.randn(1, N, D).astype(np.float32))
 
     def loss_mod(x, x2, p):
@@ -202,8 +207,8 @@ def test_fused_attention_grads_match_module(rng):
         return jnp.mean(out * w)
 
     p = variables['params']
-    gm = jax.grad(loss_mod, argnums=(0, 1, 2))(x, x2, p)
-    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, x2, p)
+    gm = jax.jit(jax.grad(loss_mod, argnums=(0, 1, 2)))(x, x2, p)
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(x, x2, p)
     flat_m, tree_m = jax.tree_util.tree_flatten(gm)
     flat_f, tree_f = jax.tree_util.tree_flatten(gf)
     assert tree_m == tree_f
@@ -228,11 +233,11 @@ def test_fused_interp_grads_match_ops(rng):
     feats = jnp.asarray(rng.rand(1, M, E).astype(np.float32))
     w = jnp.asarray(rng.randn(1, N, E).astype(np.float32))
 
-    g_ref = jax.grad(lambda f: jnp.mean(
+    g_ref = jax.jit(jax.grad(lambda f: jnp.mean(
         knn_interpolate(f, jax.lax.stop_gradient(pos2),
-                        jax.lax.stop_gradient(q_pos), K, eps=1e-4) * w))(feats)
-    g_fus = jax.grad(lambda f: jnp.mean(
-        fused_knn_interp(q_pos, pos2, f, K, eps=1e-4) * w))(feats)
+                        jax.lax.stop_gradient(q_pos), K, eps=1e-4) * w)))(feats)
+    g_fus = jax.jit(jax.grad(lambda f: jnp.mean(
+        fused_knn_interp(q_pos, pos2, f, K, eps=1e-4) * w)))(feats)
     np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
                                atol=5e-6, rtol=2e-4)
 
@@ -256,7 +261,7 @@ def test_fused_field_grads_match_module(rng):
                              d_latent_local=E, cross_attn_neighbors=6,
                              cross_attn_layers=2, cr_attn_type='cc')
     assert supports_fused(dec)
-    variables = dec.init(jax.random.PRNGKey(1), q[:, :16], abstract, fg)
+    variables = jax.jit(dec.init)(jax.random.PRNGKey(1), q[:, :16], abstract, fg)
     w = jnp.asarray(rng.randn(1, N, 6).astype(np.float32))
 
     def loss_mod(v, ab, f):
@@ -265,8 +270,8 @@ def test_fused_field_grads_match_module(rng):
     def loss_fused(v, ab, f):
         return jnp.mean(fused_field_apply(dec, v, q, ab, f)[0] * w)
 
-    gm = jax.grad(loss_mod, argnums=(0, 1, 2))(variables, abstract, fg)
-    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(variables, abstract, fg)
+    gm = jax.jit(jax.grad(loss_mod, argnums=(0, 1, 2)))(variables, abstract, fg)
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(variables, abstract, fg)
     # Abstract positions are stop-gradient in both paths.
     np.testing.assert_array_equal(np.asarray(gm[1][..., :3]), 0.0)
     np.testing.assert_array_equal(np.asarray(gf[1][..., :3]), 0.0)
@@ -292,12 +297,13 @@ def test_fused_attention_premul_mode_matches_module(rng):
     x2 = jnp.asarray(rng.rand(1, M, D2).astype(np.float32) - 0.5)
     pos2 = jnp.asarray(rng.rand(1, M, 3).astype(np.float32) * 2 - 1)
     mod = VectorAttention(dim=D, num_neighbors=K, dim2=D2)
-    variables = mod.init(jax.random.PRNGKey(0), x, pos, x2=x2, pos2=pos2)
+    variables = jax.jit(mod.init)(jax.random.PRNGKey(0), x, pos, x2=x2,
+                                  pos2=pos2)
     p = variables['params']
     M_pad = 128
     assert M_pad * (2 * D - D2) < 4 * D2 * D  # premul branch is the one taken.
 
-    ref = np.asarray(mod.apply(variables, x, pos, x2=x2, pos2=pos2))
+    ref = np.asarray(jax.jit(mod.apply)(variables, x, pos, x2=x2, pos2=pos2))
     out = np.asarray(fused_knn_vector_attention(
         x @ p['to_q']['kernel'], pos, x2, pos2, p, K))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
@@ -311,8 +317,8 @@ def test_fused_attention_premul_mode_matches_module(rng):
         return jnp.mean(fused_knn_vector_attention(
             x @ p['to_q']['kernel'], pos, x2, pos2, p, K) * w)
 
-    gm = jax.grad(loss_mod, argnums=(0, 1, 2))(x, x2, p)
-    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, x2, p)
+    gm = jax.jit(jax.grad(loss_mod, argnums=(0, 1, 2)))(x, x2, p)
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(x, x2, p)
     for a, b in zip(jax.tree_util.tree_leaves(gm), jax.tree_util.tree_leaves(gf)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-6, rtol=2e-4)
@@ -338,11 +344,14 @@ def test_fused_field_highest_matches_module_highest(rng):
                              d_latent_local=E, cross_attn_neighbors=6,
                              cross_attn_layers=2, cr_attn_type='cc')
     assert supports_fused(dec)
-    variables = dec.init(jax.random.PRNGKey(1), q[:, :16], abstract, fg)
+    variables = jax.jit(dec.init)(jax.random.PRNGKey(1), q[:, :16], abstract, fg)
     with jax.default_matmul_precision('highest'):
-        ref, ref_pen = dec.apply(variables, q, abstract, fg)
-        out, out_pen = fused_field_apply(dec, variables, q, abstract, fg,
-                                         compute_dtype=jnp.float32)
+        # jit traces under the active precision context (captured at trace time).
+        ref, ref_pen = jax.jit(dec.apply)(variables, q, abstract, fg)
+        out, out_pen = jax.jit(
+            lambda v, qq, ab, f: fused_field_apply(
+                dec, v, qq, ab, f, compute_dtype=jnp.float32))(
+                    variables, q, abstract, fg)
     # f32 round-off only (online-softmax vs standard accumulation order);
     # measured max |diff| ~9e-6 over 7200 outputs.
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -366,9 +375,9 @@ def test_fused_self_attention_matches_module(rng):
 
     mod_off = VectorAttention(dim=D, num_neighbors=K, fused='off')
     mod_on = VectorAttention(dim=D, num_neighbors=K, fused='on')
-    v = mod_off.init(jax.random.PRNGKey(0), x, pos)
-    ref = mod_off.apply(v, x, pos)
-    out = mod_on.apply(v, x, pos)
+    v = jax.jit(mod_off.init)(jax.random.PRNGKey(0), x, pos)
+    ref = jax.jit(mod_off.apply)(v, x, pos)
+    out = jax.jit(mod_on.apply)(v, x, pos)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-6, rtol=2e-6)
 
@@ -376,8 +385,8 @@ def test_fused_self_attention_matches_module(rng):
         def f(vv, xx):
             return jnp.sum(jnp.sin(mod.apply(vv, xx, pos) * 3.0))
         return f
-    g_ref = jax.grad(loss(mod_off), argnums=(0, 1))(v, x)
-    g_out = jax.grad(loss(mod_on), argnums=(0, 1))(v, x)
+    g_ref = jax.jit(jax.grad(loss(mod_off), argnums=(0, 1)))(v, x)
+    g_out = jax.jit(jax.grad(loss(mod_on), argnums=(0, 1)))(v, x)
     for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                     jax.tree_util.tree_leaves(g_out)):
         # f32 accumulation-order roundoff only (grid-accumulated weight grads).
@@ -458,6 +467,11 @@ def test_knn_extract_shared_extraction_bit_identical(rng):
                                        key_mask=mask, knn=knn if use else None)
         return jnp.sum(y ** 2)
 
+    # NOTE: these four grads stay EAGER on purpose. The bit-identity claim is
+    # defined over per-kernel dispatch boundaries (each jitted kernel runs as
+    # its own executable); an outer jit inlines both arms into one XLA graph
+    # where the glue ops can be fused/reassociated differently per arm
+    # (measured: ~1e-5 drift on the interp grad under jit at opt level 0).
     g0 = np.asarray(jax.grad(lambda f: loss_attn(f, False))(x2))
     g1 = np.asarray(jax.grad(lambda f: loss_attn(f, True))(x2))
     np.testing.assert_array_equal(g0, g1)
@@ -542,8 +556,10 @@ def test_shared_gather_bit_identical_fwd_and_grads(rng):
                                     key_mask=mask, knn=knn, gathered=g)
             return jnp.sum(jnp.sin(b)) + jnp.sum(i * i)
 
-        g0 = jax.grad(loss, argnums=(0, 1, 2))(feats2, q_proj, params, False)
-        g1 = jax.grad(loss, argnums=(0, 1, 2))(feats2, q_proj, params, True)
+        jloss = jax.jit(jax.grad(loss, argnums=(0, 1, 2)),
+                        static_argnums=(3,))
+        g0 = jloss(feats2, q_proj, params, False)
+        g1 = jloss(feats2, q_proj, params, True)
         for a, b in zip(jax.tree_util.tree_leaves(g0),
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
@@ -570,7 +586,7 @@ def test_fused_field_shared_gather_threshold(rng):
     q = jnp.asarray(rng.rand(B, N, 4).astype(np.float32) * 2 - 1)
     abstract = jnp.asarray(rng.rand(B, M, 3 + 12).astype(np.float32))
     fg = jnp.asarray(rng.rand(B, 48).astype(np.float32))
-    variables = decoder.init(jax.random.PRNGKey(0), q, abstract, fg)
+    variables = jax.jit(decoder.init)(jax.random.PRNGKey(0), q, abstract, fg)
 
     def run(min_m):
         old, fused.SHARED_GATHER_MIN_M = fused.SHARED_GATHER_MIN_M, min_m
@@ -578,7 +594,8 @@ def test_fused_field_shared_gather_threshold(rng):
             def loss(v):
                 out, _ = fused.fused_field_apply(decoder, v, q, abstract, fg)
                 return jnp.sum(out ** 2)
-            l, grads = jax.value_and_grad(loss)(variables)
+            # Trace inside the flag window (the global is read at trace time).
+            l, grads = jax.jit(jax.value_and_grad(loss))(variables)
             return l, grads
         finally:
             fused.SHARED_GATHER_MIN_M = old

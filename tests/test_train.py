@@ -281,9 +281,10 @@ def test_fused_decoder_train_path_matches_module(trained):
     batch = {k: jnp.asarray(v) for k, v in batches[0].items()
              if k != 'meta_data'}
     rng = jax.random.PRNGKey(5)
-    (loss_m, _), gm = jax.value_and_grad(pipe_mod.loss, has_aux=True)(
+    # jit: the eager transform is dispatch-bound on the 1-core CPU host.
+    (loss_m, _), gm = jax.jit(jax.value_and_grad(pipe_mod.loss, has_aux=True))(
         params, batch, rng)
-    (loss_f, _), gf = jax.value_and_grad(pipe_fus.loss, has_aux=True)(
+    (loss_f, _), gf = jax.jit(jax.value_and_grad(pipe_fus.loss, has_aux=True))(
         params, batch, rng)
     np.testing.assert_allclose(float(loss_f), float(loss_m), rtol=1e-4)
     flat_m = jax.tree_util.tree_leaves_with_path(gm)
