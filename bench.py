@@ -233,7 +233,12 @@ def _eval_overlap_bench(cfg, enc_args, dec_args, params, num_sample=524288):
     frames_per_scene = cfg.past_frames + cfg.future_frames
     n_scenes = max(len(summary['per_frame']) // frames_per_scene, 1)
     device_s = split.get('device_infer', 0.0)
-    accounted = sum(v for k, v in split.items() if k != 'infer_wall')
+    # dispatch_wall/finish_wall are umbrella spans over the same seconds the
+    # component phases (device_infer/gt_nn1/host_post/...) already count — and
+    # in pipelined mode (--eval_overlap) the post phases overlap dispatch, so
+    # 'accounted' is host+device work, not wall.
+    accounted = sum(v for k, v in split.items()
+                    if k not in ('infer_wall', 'dispatch_wall', 'finish_wall'))
     return {
         # Wall includes the (persistent-cache) first-frame compile loads;
         # steady-state per-scene cost is the phase-split sum / n_scenes.

@@ -188,6 +188,13 @@ class TestConfig(SharedConfig):
     # Eval numerics: 'fast' (fused bf16 kernels), 'f32' (XLA default precision),
     # 'highest' (true-f32 dots, parity oracle), 'auto' = fast on TPU.
     eval_precision: str = 'auto'
+    # Pipelined eval loop: a post-processing worker thread overlaps the host
+    # stages of frame i (multi_track_merge, 1-NN GT labels, metrics, pickle
+    # export) with the device dispatch of frame i+1. Metric values and
+    # artifacts are bit-identical either way (same math, same order; pinned by
+    # tests/test_evaluate.py); the knob only changes wall-clock. No reference
+    # counterpart (its eval loop is fully serial, eval/test.py:31-135).
+    eval_overlap: bool = True
     tag: str = ''
     test_tag: str = ''
     train_tag: str = ''

@@ -35,7 +35,8 @@ from ..parallel import make_mesh
 from ..utils.misc import multi_track_merge
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ['load_models', 'InferenceEngine', 'perform_inference']
+__all__ = ['load_models', 'InferenceEngine', 'perform_inference',
+           'dispatch_inference', 'finish_inference']
 
 
 def _strip_mixed_precision(d):
@@ -251,13 +252,15 @@ class InferenceEngine:
         abstract, fg, _ = self._encode(self.params['encoder'], jnp.asarray(pcl_input))
         return abstract, fg
 
-    def decode_all(self, points_query, abstract, fg):
+    def decode_all(self, points_query, abstract, fg, fetch=True):
         '''
         Stream all queries through fixed-shape sharded chunks, entirely on device:
         (at most) one H2D transfer of the full query set, one scan over chunks.
         :param points_query (P, 4) numpy or jax array. A device-resident input
             (e.g. from ops.blind_points_device) skips the host->device copy and
             the result stays on device.
+        :param fetch (bool): False returns unfetched device arrays even for
+            numpy input (the pipelined-eval dispatch path).
         :return (P, C) array of squashed outputs - numpy for numpy input, device
             array for device input (call np.asarray to fetch).
         '''
@@ -273,37 +276,39 @@ class InferenceEngine:
         q_dev = jax.device_put(
             q, NamedSharding(self.mesh, P(None, None, 'dp', None)))
         outs = self._decode_many(self.params['decoder'], q_dev, abstract, fg)
-        fetch = (lambda a: a) if on_device else np.asarray
+        if not fetch:
+            # Pipelined eval (dispatch_inference): hand back UNFETCHED device
+            # arrays so the post worker pays the D2H while the main thread
+            # dispatches the next frame. reshape/slice are lazy jax ops.
+            on_device = True
+        fetch_fn = (lambda a: a) if on_device else np.asarray
         if self.store_activations:
             outs, penults = outs
             penults = penults.reshape(n_chunks * self.chunk, -1)[:P_total]
             outs = outs.reshape(n_chunks * self.chunk, -1)[:P_total]
-            return fetch(outs), fetch(penults)
+            return fetch_fn(outs), fetch_fn(penults)
         outs = outs.reshape(n_chunks * self.chunk, -1)[:P_total]
-        return fetch(outs)
+        return fetch_fn(outs)
 
 
-def perform_inference(pcl_input, pcl_input_sem, pcl_target_frame, engine, min_z,
-                      cube_bounds, color_mode, time_idx, logger=None,
-                      sample_implicit=True, num_sample=16384,
-                      point_sample_mode='random', predict_segmentation=False,
-                      track_mode='none', point_occupancy_radius=0.2,
-                      semantic_classes=13, density_threshold=0.5, data_kind='',
-                      cube_mode=4, compress_air=False, rng=None,
-                      store_activations=False):
+def dispatch_inference(pcl_input, pcl_input_sem, engine, min_z,
+                       cube_bounds, color_mode, time_idx,
+                       sample_implicit=True, num_sample=16384,
+                       point_sample_mode='random', track_mode='none',
+                       data_kind='', cube_mode=4, rng=None):
     '''
-    One frame of test-time prediction (parity: inference.py:83-325).
-    :param pcl_input (N, 8) numpy: (x, y, z, R, G, B, t, mark_track).
-    :param pcl_input_sem (N, 1-3) numpy or None.
-    :param pcl_target_frame (M, 9-11) numpy or None (GT for 1-NN labels).
-    :param engine (InferenceEngine).
-    :return dict with output_solid, output_air, pcl_abstract, features_global,
-        implicit_output, points_query, gt_solid?, gt_air?.
+    Device-dispatch stage of one frame of test-time prediction: track-rerun set,
+    blind query generation, and the encode/decode device calls — returning
+    UNFETCHED jax arrays. Pair with finish_inference (which fetches, merges and
+    thresholds); perform_inference composes the two. The split exists so the
+    pipelined eval loop (test_driver.run_test, --eval_overlap) can run frame
+    i's host post-processing in a worker thread while frame i+1's device work
+    is already queued — the reference's loop is fully serial
+    (eval/test.py:31-135, inference.py:83-325).
+    :return pending dict for finish_inference.
     '''
     assert sample_implicit
-    output_track_idx = factory.track_idx(color_mode)
     input_inst_idx = 0 if data_kind == 'greater' else 1
-    gt_available = pcl_target_frame is not None
 
     # Track rerun set: every instance with >= 16 points in the input when 'all'
     # (inference.py:146-169). The reference restricts 'all' to GREATER
@@ -330,28 +335,67 @@ def perform_inference(pcl_input, pcl_input_sem, pcl_target_frame, engine, min_z,
                                       data_kind, cube_mode, point_sample_mode,
                                       rng=rng)                       # (P, 4).
 
-    store_activations = store_activations and engine.store_activations
     all_abstract, all_global, all_out = [], [], []
     penult = None
     pcl_input = np.array(pcl_input, np.float32)
     import time as _time
-    phase_s = {}
     _t0 = _time.time()
     for mark_inst_id in track_instance_ids:
+        # Each rerun gets a FRESH buffer for its mark column: jnp.asarray can
+        # zero-copy-alias a numpy buffer (CPU backend), and with fetch=False
+        # the encode dispatch is still draining asynchronously when the next
+        # rerun would otherwise mutate pcl_input[..., -1] in place — a data
+        # race the serial eval never saw because its per-rerun D2H fetch
+        # blocked until the encode finished.
+        pcl_marked = pcl_input
         if mark_inst_id >= 0:
             mask = (pcl_input_sem[..., input_inst_idx] == mark_inst_id)
-            pcl_input[..., -1] = mask.astype(np.float32)
-        abstract, fg = engine.encode(pcl_input)
-        out = engine.decode_all(points_query, abstract, fg)          # (P, C).
+            pcl_marked = pcl_input.copy()
+            pcl_marked[..., -1] = mask.astype(np.float32)
+        abstract, fg = engine.encode(pcl_marked)
+        out = engine.decode_all(points_query, abstract, fg, fetch=False)
         if engine.store_activations:
             out, run_penult = out
             if penult is None:
                 penult = run_penult  # activations of the unmarked / first run.
-        all_abstract.append(np.asarray(abstract[0]))
-        all_global.append(np.asarray(fg[0]))
+        all_abstract.append(abstract)
+        all_global.append(fg)
         all_out.append(out)
 
-    phase_s['device_infer'] = _time.time() - _t0
+    return dict(track_instance_ids=track_instance_ids,
+                all_abstract=all_abstract, all_global=all_global,
+                all_out=all_out, penult=penult, points_query=points_query,
+                color_mode=color_mode, dispatch_s=_time.time() - _t0)
+
+
+def finish_inference(pending, pcl_target_frame, engine,
+                     predict_segmentation=False, point_occupancy_radius=0.2,
+                     semantic_classes=13, density_threshold=0.5,
+                     compress_air=False, store_activations=False):
+    '''
+    Host stage of one frame: fetch the pending device outputs (D2H), merge track
+    reruns, 1-NN GT labels, density-threshold split, compress_air
+    (parity: inference.py:216-325). Runs on the post worker thread in
+    pipelined eval; composable with dispatch_inference.
+    :return dict with output_solid, output_air, pcl_abstract, features_global,
+        implicit_output, points_query, gt_solid?, gt_air?.
+    '''
+    import time as _time
+    gt_available = pcl_target_frame is not None
+    output_track_idx = factory.track_idx(pending['color_mode'])
+    track_instance_ids = pending['track_instance_ids']
+    points_query = pending['points_query']
+
+    phase_s = {}
+    _t0 = _time.time()
+    # The fetch blocks until the device work drains; in pipelined eval the
+    # main thread has already queued the NEXT frame behind it.
+    all_abstract = [np.asarray(a[0]) for a in pending['all_abstract']]
+    all_global = [np.asarray(g[0]) for g in pending['all_global']]
+    all_out = [np.asarray(o) for o in pending['all_out']]
+    penult = pending['penult']
+
+    phase_s['device_infer'] = pending['dispatch_s'] + (_time.time() - _t0)
     phase_s['track_reruns'] = len(track_instance_ids)
     _t0 = _time.time()
     (pcl_abstract, features_global, implicit_output) = multi_track_merge(
@@ -394,7 +438,7 @@ def perform_inference(pcl_input, pcl_input_sem, pcl_target_frame, engine, min_z,
     result['phase_s'] = phase_s
     result['output_solid'] = solid_points
     result['output_air'] = air_points
-    if store_activations:
+    if store_activations and engine.store_activations and penult is not None:
         # Penultimate activations of the predicted-solid queries only (float16):
         # the analysable set, at a exportable size (dense air dominates the grid).
         result['penult_solid'] = np.asarray(penult)[solid_sel]
@@ -405,3 +449,35 @@ def perform_inference(pcl_input, pcl_input_sem, pcl_target_frame, engine, min_z,
             gt_air = np.concatenate([gt_air[:, :1], gt_air[:, 4:5]], axis=-1)
         result['gt_air'] = gt_air
     return result
+
+
+def perform_inference(pcl_input, pcl_input_sem, pcl_target_frame, engine, min_z,
+                      cube_bounds, color_mode, time_idx, logger=None,
+                      sample_implicit=True, num_sample=16384,
+                      point_sample_mode='random', predict_segmentation=False,
+                      track_mode='none', point_occupancy_radius=0.2,
+                      semantic_classes=13, density_threshold=0.5, data_kind='',
+                      cube_mode=4, compress_air=False, rng=None,
+                      store_activations=False):
+    '''
+    One frame of test-time prediction (parity: inference.py:83-325):
+    dispatch_inference + finish_inference run back to back on the calling
+    thread (the serial eval path; numerically identical to the pipelined one).
+    :param pcl_input (N, 8) numpy: (x, y, z, R, G, B, t, mark_track).
+    :param pcl_input_sem (N, 1-3) numpy or None.
+    :param pcl_target_frame (M, 9-11) numpy or None (GT for 1-NN labels).
+    :param engine (InferenceEngine).
+    :return dict with output_solid, output_air, pcl_abstract, features_global,
+        implicit_output, points_query, gt_solid?, gt_air?.
+    '''
+    pending = dispatch_inference(
+        pcl_input, pcl_input_sem, engine, min_z, cube_bounds, color_mode,
+        time_idx, sample_implicit=sample_implicit, num_sample=num_sample,
+        point_sample_mode=point_sample_mode, track_mode=track_mode,
+        data_kind=data_kind, cube_mode=cube_mode, rng=rng)
+    return finish_inference(
+        pending, pcl_target_frame, engine,
+        predict_segmentation=predict_segmentation,
+        point_occupancy_radius=point_occupancy_radius,
+        semantic_classes=semantic_classes, density_threshold=density_threshold,
+        compress_air=compress_air, store_activations=store_activations)

@@ -36,118 +36,224 @@ def backfill_from_train(args: TestConfig, train_cfg):
     return args
 
 
+class _FramePost:
+    '''Host post-processing of eval frames: fetch+merge the pending inference,
+    score metrics, report histograms, accumulate the scene's pcl_io records,
+    and export per-scene pickles. One instance per run_test call; driven either
+    inline (serial eval) or from the single post worker thread (pipelined
+    eval). All mutable state lives here, touched by exactly one thread at a
+    time in both modes, and frames arrive in loop order either way — so
+    metrics.json, artifacts, and scalars are bit-identical across modes.'''
+
+    def __init__(self, args, engine, data_kind, logger, timer):
+        self.args = args
+        self.engine = engine
+        self.data_kind = data_kind
+        self.logger = logger
+        self.timer = timer
+        self.log_folder = 'test_' + args.test_tag
+        self.all_metrics = []
+        self.n_reruns = []
+        self.pcl_all = []
+        self.activations = []
+        self.last_inf = None
+
+    def frame(self, cur_step, time_idx, pending, tgt_frame, pcl_input,
+              pcl_input_sem):
+        from .inference import finish_inference
+        args = self.args
+        with self.timer.phase('finish_wall'):
+            inf = finish_inference(
+                pending, tgt_frame if args.save_gt else None, self.engine,
+                predict_segmentation=args.segmentation_lw > 0.0,
+                point_occupancy_radius=args.point_occupancy_radius,
+                semantic_classes=args.semantic_classes,
+                density_threshold=args.density_threshold,
+                compress_air=True, store_activations=args.store_activations)
+        for name in ('device_infer', 'gt_nn1', 'host_post'):
+            self.timer.totals[name] += inf['phase_s'][name]
+            self.timer.counts[name] += 1
+        self.n_reruns.append(inf['phase_s']['track_reruns'])
+
+        if args.save_metrics:
+            from .metrics import frame_metrics
+            with self.timer.phase('metrics'):
+                m = frame_metrics(
+                    inf['output_solid'], inf['output_air'], tgt_frame,
+                    self.data_kind, args.point_occupancy_radius,
+                    args.color_mode, args.segmentation_lw > 0.0,
+                    args.semantic_classes,
+                    mark_is_instance_id=inf['mark_is_instance_id'])
+            m.update(step=cur_step, time_idx=time_idx)
+            self.all_metrics.append(m)
+        if args.store_activations and 'penult_solid' in inf:
+            self.activations.append(inf['penult_solid'])
+
+        if cur_step % 4 == 0:
+          with self.timer.phase('histograms'):
+            self.logger.report_implicit_histograms(
+                'test', inf['implicit_output'], args.color_mode, time_idx,
+                args.segmentation_lw > 0.0, args.semantic_classes,
+                args.tracking_lw > 0.0, cur_step)
+            # Solid/air per-channel split (reference logvis.py:467-535; the
+            # eval air rows are compressed to (x, y, z, density, segm)).
+            self.logger.report_pcl_air_histograms(
+                'test', inf['output_solid'], inf['output_air'],
+                args.color_mode, time_idx, args.segmentation_lw > 0.0,
+                args.semantic_classes, args.tracking_lw > 0.0, True, cur_step)
+
+        record = (np.asarray(pcl_input), inf['pcl_abstract'],
+                  inf['output_solid'], tgt_frame, inf['output_air'])
+        if args.save_gt:
+            record = record + (np.asarray(pcl_input_sem), inf['points_query'])
+        self.pcl_all.append(record)
+        self.last_inf = inf
+
+    def scene_end(self, cur_step, meta, cam_RT, cam_K, pcl_input):
+        args, logger, inf = self.args, self.logger, self.last_inf
+        with self.timer.phase('export'):
+            if args.store_pcl:
+                logger.save_pickle(self.pcl_all, f'pcl_io_s{cur_step}.p',
+                                   folder=self.log_folder)
+            if args.store_activations and self.activations:
+                logger.save_pickle(self.activations,
+                                   f'activations_s{cur_step}.p',
+                                   folder=self.log_folder)
+        self.pcl_all = []
+        self.activations = []
+
+        logger.report_scalar('test/pcl_input_size', pcl_input.shape[0],
+                             step=cur_step)
+        logger.report_scalar('test/pcl_output_size',
+                             inf['output_solid'].shape[0], step=cur_step)
+        logger.report_scalar('test/air_output_size',
+                             inf['output_air'].shape[0], step=cur_step)
+        logger.report_histogram('test/features_global', inf['features_global'],
+                                step=cur_step)
+        with self.timer.phase('export'):
+            logger.save_pickle((meta, cam_RT, cam_K),
+                               f'metadata_s{cur_step}.p',
+                               folder=self.log_folder)
+
+
+class _PostWorker:
+    '''Single worker thread draining a bounded queue of _FramePost calls: the
+    pipelined eval's host lane. Bounded at 2 pending frames so at most ~3
+    frames of dense decode output are alive at once. A worker exception is
+    re-raised on the main thread at the next submit/join.'''
+
+    def __init__(self, post):
+        import queue
+        import threading
+        self.post = post
+        self.q = queue.Queue(maxsize=2)
+        self.err = None
+        self.thread = threading.Thread(target=self._loop, daemon=True,
+                                       name='o4d-eval-post')
+        self.thread.start()
+
+    def _loop(self):
+        while True:
+            task = self.q.get()
+            try:
+                if task is None:
+                    return
+                kind, task_args = task
+                getattr(self.post, kind)(*task_args)
+            except BaseException as e:  # surfaced on the main thread.
+                if self.err is None:
+                    self.err = e
+            finally:
+                self.q.task_done()
+
+    def _check(self):
+        if self.err is not None:
+            err, self.err = self.err, None
+            raise RuntimeError('eval post worker failed') from err
+
+    def submit(self, kind, *task_args):
+        self._check()
+        self.q.put((kind, task_args))
+
+    def join(self):
+        self.q.put(None)
+        self.thread.join()
+        self._check()
+
+
 def run_test(args: TestConfig, engine, data_kind, loader, logger):
     '''Main eval loop (eval/test.py:31-135). --save_metrics scores every predicted
     frame with evaluate.metrics and writes metrics.json; --store_activations
     exports the decoder's penultimate activations of predicted-solid queries
     (activations_s{step}.p) -- both flags were declared but dead in the reference
-    (/root/reference/eval/test.py:73,92,113; args.py:345-348).'''
+    (/root/reference/eval/test.py:73,92,113; args.py:345-348).
+
+    With --eval_overlap (default), the loop is a two-stage pipeline: this
+    thread runs dispatch_inference (track set, query gen, encode/decode device
+    dispatch) and a post worker thread runs everything host-bound
+    (finish_inference's D2H fetch + merge + 1-NN, metrics, histograms, pickle
+    export) — so frame i's host work hides under frame i+1's device work. The
+    reference's loop is fully serial.'''
+    from .inference import dispatch_inference
     from ..utils.profiling import PhaseTimer
-    log_folder = 'test_' + args.test_tag
     rng = np.random.RandomState(args.seed)
-    all_metrics = []
     start = time.time()
     # Per-phase wall split of the production eval loop (data / device infer /
     # host 1-NN / metrics / export) — readable afterwards via
     # logger.last_eval_timer and summarized into metrics.json + the bench's
-    # eval_overlap extra.
+    # eval_overlap extra. In pipelined mode the post phases (finish_wall,
+    # metrics, export, ...) overlap the main thread's dispatch phase, so the
+    # phase totals can legitimately sum past the loop's wall-clock.
     timer = PhaseTimer()
     logger.last_eval_timer = timer
-    n_reruns = []
 
-    batches = iter(loader.epoch(0))
-    for cur_step in range(10 ** 9):
-        with timer.phase('data'):
-            batch = next(batches, None)
-        if batch is None:
-            break
-        if cur_step == 0:
-            logger.info(f'First data iteration took {time.time() - start:.3f}s')
-        meta = batch['meta_data'][0]
-        pcl_input = batch['pcl_input'][0]
-        pcl_input_sem = batch['pcl_input_sem'][0]
-        pcl_target = batch['pcl_target'][0]            # (T, M, E).
-        tgt_valid = batch['pcl_target_valid'][0]
-        num_frames = pcl_target.shape[0]
-        sem_for_inference = pcl_input_sem if args.track_mode != 'none' else None
+    post = _FramePost(args, engine, data_kind, logger, timer)
+    worker = _PostWorker(post) if getattr(args, 'eval_overlap', True) else None
+    submit = (worker.submit if worker is not None
+              else lambda kind, *a: getattr(post, kind)(*a))
 
-        pcl_all = []
-        activations = []
-        for time_idx in range(num_frames):
-            tgt_frame = pcl_target[time_idx][tgt_valid[time_idx]]
-            tgt_for_inference = tgt_frame if args.save_gt else None
+    try:
+        batches = iter(loader.epoch(0))
+        for cur_step in range(10 ** 9):
+            with timer.phase('data'):
+                batch = next(batches, None)
+            if batch is None:
+                break
+            if cur_step == 0:
+                logger.info(
+                    f'First data iteration took {time.time() - start:.3f}s')
+            meta = batch['meta_data'][0]
+            pcl_input = batch['pcl_input'][0]
+            pcl_input_sem = batch['pcl_input_sem'][0]
+            pcl_target = batch['pcl_target'][0]            # (T, M, E).
+            tgt_valid = batch['pcl_target_valid'][0]
+            num_frames = pcl_target.shape[0]
+            sem_for_inference = (pcl_input_sem if args.track_mode != 'none'
+                                 else None)
 
-            with timer.phase('infer_wall'):
-                inf = perform_inference(
-                    pcl_input, sem_for_inference, tgt_for_inference, engine,
-                    args.min_z, args.cr_cube_bounds, args.color_mode, time_idx,
-                    logger,
-                    sample_implicit=args.sample_implicit,
-                    num_sample=args.num_sample,
-                    point_sample_mode=args.point_sample_mode,
-                    predict_segmentation=args.segmentation_lw > 0.0,
-                    track_mode=args.track_mode,
-                    point_occupancy_radius=args.point_occupancy_radius,
-                    semantic_classes=args.semantic_classes,
-                    density_threshold=args.density_threshold,
-                    data_kind=data_kind,
-                    cube_mode=args.cube_mode, compress_air=True, rng=rng,
-                    store_activations=args.store_activations)
-            for name in ('device_infer', 'gt_nn1', 'host_post'):
-                timer.totals[name] += inf['phase_s'][name]
-                timer.counts[name] += 1
-            n_reruns.append(inf['phase_s']['track_reruns'])
+            for time_idx in range(num_frames):
+                tgt_frame = pcl_target[time_idx][tgt_valid[time_idx]]
 
-            if args.save_metrics:
-                from .metrics import frame_metrics
-                with timer.phase('metrics'):
-                    m = frame_metrics(
-                        inf['output_solid'], inf['output_air'], tgt_frame,
-                        data_kind, args.point_occupancy_radius, args.color_mode,
-                        args.segmentation_lw > 0.0, args.semantic_classes,
-                        mark_is_instance_id=inf['mark_is_instance_id'])
-                m.update(step=cur_step, time_idx=time_idx)
-                all_metrics.append(m)
-            if args.store_activations and 'penult_solid' in inf:
-                activations.append(inf['penult_solid'])
+                with timer.phase('dispatch_wall'):
+                    pending = dispatch_inference(
+                        pcl_input, sem_for_inference, engine,
+                        args.min_z, args.cr_cube_bounds, args.color_mode,
+                        time_idx,
+                        sample_implicit=args.sample_implicit,
+                        num_sample=args.num_sample,
+                        point_sample_mode=args.point_sample_mode,
+                        track_mode=args.track_mode,
+                        data_kind=data_kind,
+                        cube_mode=args.cube_mode, rng=rng)
+                submit('frame', cur_step, time_idx, pending, tgt_frame,
+                       pcl_input, pcl_input_sem)
 
-            if cur_step % 4 == 0:
-              with timer.phase('histograms'):
-                logger.report_implicit_histograms(
-                    'test', inf['implicit_output'], args.color_mode, time_idx,
-                    args.segmentation_lw > 0.0, args.semantic_classes,
-                    args.tracking_lw > 0.0, cur_step)
-                # Solid/air per-channel split (reference logvis.py:467-535; the
-                # eval air rows are compressed to (x, y, z, density, segm)).
-                logger.report_pcl_air_histograms(
-                    'test', inf['output_solid'], inf['output_air'],
-                    args.color_mode, time_idx, args.segmentation_lw > 0.0,
-                    args.semantic_classes, args.tracking_lw > 0.0, True, cur_step)
-
-            record = (np.asarray(pcl_input), inf['pcl_abstract'],
-                      inf['output_solid'], tgt_frame, inf['output_air'])
-            if args.save_gt:
-                record = record + (np.asarray(pcl_input_sem), inf['points_query'])
-            pcl_all.append(record)
-
-        with timer.phase('export'):
-            if args.store_pcl:
-                logger.save_pickle(pcl_all, f'pcl_io_s{cur_step}.p',
-                                   folder=log_folder)
-            if args.store_activations and activations:
-                logger.save_pickle(activations, f'activations_s{cur_step}.p',
-                                   folder=log_folder)
-
-        logger.report_scalar('test/pcl_input_size', pcl_input.shape[0], step=cur_step)
-        logger.report_scalar('test/pcl_output_size', inf['output_solid'].shape[0],
-                             step=cur_step)
-        logger.report_scalar('test/air_output_size', inf['output_air'].shape[0],
-                             step=cur_step)
-        logger.report_histogram('test/features_global', inf['features_global'],
-                                step=cur_step)
-        with timer.phase('export'):
-            logger.save_pickle((meta, batch.get('cam_RT'), batch.get('cam_K')),
-                               f'metadata_s{cur_step}.p', folder=log_folder)
+            submit('scene_end', cur_step, meta, batch.get('cam_RT'),
+                   batch.get('cam_K'), pcl_input)
+    finally:
+        if worker is not None:
+            worker.join()
+    all_metrics, n_reruns = post.all_metrics, post.n_reruns
 
     timer.report(logger, prefix='[test] ')
     if args.save_metrics and all_metrics:
@@ -169,7 +275,7 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
                                     for k, v in timer.summary().items()}
         summary['track_reruns_mean'] = (float(np.mean(n_reruns))
                                         if n_reruns else 0.0)
-        fp = os.path.join(logger._artifact_dir('pickle', log_folder),
+        fp = os.path.join(logger._artifact_dir('pickle', post.log_folder),
                           'metrics.json')
         with open(fp, 'w') as f:
             json.dump(summary, f, indent=2, sort_keys=True)

@@ -329,3 +329,83 @@ def test_track_rerun_merge_carla_vehped(setup):
     # Only the two vehped instances were rerun: ids are 20/21/-1, never the
     # (bigger) road instance 0.
     assert set(np.unique(track_col)) <= {-1.0, 20.0, 21.0}
+
+
+def test_eval_overlap_matches_serial(setup, tmp_path):
+    '''Pipelined eval (--eval_overlap, post worker thread) produces
+    BIT-IDENTICAL artifacts to the serial loop: same metrics.json (per-frame),
+    same pcl_io/metadata pickles, same scalar stream. The pipeline only moves
+    WHEN host post-processing runs (overlapped with the next frame's device
+    dispatch), never what it computes (test_driver._FramePost docstring).'''
+    import json
+    root, cfg, trainer = setup
+    from occlusions4d_tpu.data import create_test_loader
+
+    def run(overlap, tmp):
+        args = _test_cfg(os.path.join(root, 'test'), cfg.output_path, tmp,
+                         density_threshold=0.05, save_metrics=True,
+                         save_gt=True, track_mode='all', eval_overlap=overlap)
+        loaded = load_models(args.resume)
+        backfill_from_train(args, loaded['train_config'])
+        logger = StepLogger(log_dir=str(tmp / 'logs'), context='test')
+        data_kind, loader = create_test_loader(args, dict(loaded['dset_args']),
+                                               logger)
+        engine = InferenceEngine(loaded, color_mode=args.color_mode,
+                                 predict_segmentation=False,
+                                 semantic_classes=args.semantic_classes,
+                                 track_mode=args.track_mode,
+                                 implicit_batch_size=args.implicit_batch_size,
+                                 query_parallel=1)
+        summary = run_test(args, engine, data_kind, loader, logger)
+        out_dir = os.path.join(str(tmp / 'logs'), 'test_' + args.test_tag)
+        with open(os.path.join(out_dir, 'pcl_io_s0.p'), 'rb') as f:
+            pcl_all = pickle.load(f)
+        return summary, pcl_all, logger
+
+    sum_s, pcl_s, log_s = run(False, tmp_path / 'serial')
+    sum_o, pcl_o, log_o = run(True, tmp_path / 'overlap')
+
+    assert sum_s['mean'] == sum_o['mean']
+    assert sum_s['per_frame'] == sum_o['per_frame']
+    assert sum_s['track_reruns_mean'] == sum_o['track_reruns_mean']
+    assert len(pcl_s) == len(pcl_o)
+    for rec_s, rec_o in zip(pcl_s, pcl_o):
+        assert len(rec_s) == len(rec_o)  # save_gt extends the record tuple.
+        for a, b in zip(rec_s, rec_o):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Scalar stream (pcl sizes etc.) matches, including step indices.
+    assert log_s.scalar_memory == log_o.scalar_memory
+
+
+def test_eval_overlap_worker_error_surfaces(setup, tmp_path):
+    '''An exception on the post worker (here: a poisoned metrics scorer) must
+    fail run_test on the MAIN thread, not vanish into the queue.'''
+    root, cfg, trainer = setup
+    from occlusions4d_tpu.data import create_test_loader
+    from occlusions4d_tpu.evaluate import test_driver as td
+
+    args = _test_cfg(os.path.join(root, 'test'), cfg.output_path, tmp_path,
+                     density_threshold=0.05, save_metrics=True,
+                     eval_overlap=True)
+    loaded = load_models(args.resume)
+    backfill_from_train(args, loaded['train_config'])
+    logger = StepLogger(log_dir=str(tmp_path / 'logs'), context='test')
+    data_kind, loader = create_test_loader(args, dict(loaded['dset_args']),
+                                           logger)
+    engine = InferenceEngine(loaded, color_mode=args.color_mode,
+                             predict_segmentation=False,
+                             semantic_classes=args.semantic_classes,
+                             track_mode='none',
+                             implicit_batch_size=args.implicit_batch_size,
+                             query_parallel=1)
+
+    def boom(*a, **k):
+        raise ValueError('poisoned metrics')
+
+    orig = td._FramePost.frame
+    td._FramePost.frame = lambda self, *a, **k: boom()
+    try:
+        with pytest.raises(RuntimeError, match='post worker failed'):
+            run_test(args, engine, data_kind, loader, logger)
+    finally:
+        td._FramePost.frame = orig
