@@ -161,6 +161,23 @@ def greater_frame_points(rgb, flat, depth, cam_RT, cam_K, cuboid):
     return pcl[keep], pcl.shape[0]
 
 
+def greater_frame_points_png(rgb_fp, flat_fp, depth_fp, cam_RT, cam_K, cuboid):
+    '''
+    greater_frame_points, but fused all the way down to the PNG byte streams
+    (native/png_ops.cpp): decode + u8->f32 conversion + hue clustering +
+    unprojection + filtering in ONE native call, skipping PIL and the
+    full-image float arrays entirely. Bit-identical to the _imread +
+    greater_frame_points chain (tests/test_data.py). Returns None when the
+    native path can't serve these files (library unavailable, palette/
+    interlaced PNG, ...) — callers fall back to the decode chain above.
+    '''
+    from .. import native
+    inv_K, inv_RT = _inverse_cams(cam_RT, cam_K)
+    return native.greater_frame_host_png(rgb_fp, flat_fp, depth_fp, inv_K,
+                                         inv_RT, tuple(cuboid),
+                                         MAX_DEPTH_CLIP)
+
+
 class GreaterDataset:
     '''Map-style dataset: __getitem__(index) -> dict of numpy arrays.'''
 
@@ -327,22 +344,38 @@ class GreaterDataset:
             view_pcl, view_rgb, view_depth, view_RT, view_K = [], [], [], [], []
             view_flat, view_snitch = [], []
             for f in frame_inds:
-                rgb = _imread(os.path.join(image_dps[v], f'{f:04d}.png'))[..., :3] \
-                    .astype(np.float32)
-                flat = _imread(os.path.join(image_dps[v], f'{f:04d}_preflat.png'))[..., :3] \
-                    .astype(np.float32)
-                depth = _imread(os.path.join(image_dps[v], f'{f:04d}_depth.png')) \
-                    .astype(np.float32) * MAX_DEPTH_CLIP
-                if depth.ndim == 3:
-                    depth = depth[..., 0]
                 cam_RT = src_RT[f].astype(np.float32)
                 cam_K = src_K[f].astype(np.float32)
                 cam_K[1, 1] = cam_K[0, 0]  # data_greater.py:366 focal fix.
 
                 # (N, 7): (x, y, z, instance_id, R, G, B) — fused one-pass
-                # decode (C++ when available; bit-identical numpy fallback).
-                pcl, pre_filter = greater_frame_points(rgb, flat, depth,
-                                                       cam_RT, cam_K, cub)
+                # decode. Fastest path decodes the PNGs inside the native op;
+                # the PIL + numpy chain below is the bit-identical fallback
+                # (and the only path that materializes full images, which
+                # return_images needs).
+                res = None
+                if not self.return_images:
+                    res = greater_frame_points_png(
+                        os.path.join(image_dps[v], f'{f:04d}.png'),
+                        os.path.join(image_dps[v], f'{f:04d}_preflat.png'),
+                        os.path.join(image_dps[v], f'{f:04d}_depth.png'),
+                        cam_RT, cam_K, cub)
+                if res is not None:
+                    pcl, pre_filter = res
+                else:
+                    rgb = _imread(os.path.join(
+                        image_dps[v], f'{f:04d}.png'))[..., :3] \
+                        .astype(np.float32)
+                    flat = _imread(os.path.join(
+                        image_dps[v], f'{f:04d}_preflat.png'))[..., :3] \
+                        .astype(np.float32)
+                    depth = _imread(os.path.join(
+                        image_dps[v], f'{f:04d}_depth.png')) \
+                        .astype(np.float32) * MAX_DEPTH_CLIP
+                    if depth.ndim == 3:
+                        depth = depth[..., 0]
+                    pcl, pre_filter = greater_frame_points(rgb, flat, depth,
+                                                           cam_RT, cam_K, cub)
                 cuboid_filter_ratios.append(pcl.shape[0] / max(pre_filter, 1))
                 pre_sample = pcl.shape[0]
                 if self.n_points_rnd > 0 and pcl.shape[0] > self.n_points_rnd:

@@ -16,10 +16,11 @@ import threading
 import numpy as np
 
 __all__ = ['fps_host', 'nn1_host', 'knn_host', 'greater_frame_host',
-           'native_available']
+           'greater_frame_host_png', 'native_available']
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [os.path.join(_HERE, 'host_ops.cpp'), os.path.join(_HERE, 'frame_ops.cpp')]
+_SRCS = [os.path.join(_HERE, 'host_ops.cpp'), os.path.join(_HERE, 'frame_ops.cpp'),
+         os.path.join(_HERE, 'png_ops.cpp')]
 _LIB = os.path.join(_HERE, '_host_ops.so')
 _lock = threading.Lock()
 _lib = None
@@ -33,14 +34,15 @@ def _build():
     objs = []
     for src in _SRCS:
         obj = src[:-4] + '.o'
-        flags = ['-ffp-contract=off'] if src.endswith('frame_ops.cpp') else []
+        flags = ([] if src.endswith('host_ops.cpp')
+                 else ['-ffp-contract=off'])  # frame chain: no fma re-rounding.
         # -fopenmp-simd: honor `#pragma omp simd` (vectorization hints only,
         # no OpenMP runtime dependency).
         subprocess.run(['g++', '-O3', '-march=native', '-fopenmp-simd', *flags,
                         '-c', '-fPIC', '-o', obj, src],
                        check=True, capture_output=True)
         objs.append(obj)
-    subprocess.run(['g++', '-shared', '-o', _LIB, *objs],
+    subprocess.run(['g++', '-shared', '-o', _LIB, *objs, '-lz'],
                    check=True, capture_output=True)
 
 
@@ -68,6 +70,14 @@ def _load():
                 f32p, f32p, f32p, i64, i64, f32p, f32p, f32p, ctypes.c_int,
                 f64p, i64, ctypes.c_float, f32p, i64p]
             lib.o4d_greater_frame.restype = i64
+            u8p = np.ctypeslib.ndpointer(np.uint8, flags='C')
+            lib.o4d_png_dims.argtypes = [u8p, i64, i64p]
+            lib.o4d_png_dims.restype = i64
+            lib.o4d_greater_frame_png.argtypes = [
+                u8p, i64, u8p, i64, u8p, i64, ctypes.c_float,
+                f32p, f32p, f32p, ctypes.c_int,
+                f64p, i64, ctypes.c_float, f32p, i64p]
+            lib.o4d_greater_frame_png.restype = i64
             _lib = lib
         except Exception:
             _lib = None
@@ -153,6 +163,55 @@ def greater_frame_host(rgb, flat, depth, inv_K3, inv_RT34, cuboid,
                               depth.reshape(-1), H, W, iK, iRT, cub,
                               int(bool(use_floor)), cl, cl.shape[0],
                               float(sat_thresh), out.reshape(-1), n_valid)
+    return out[:n].copy(), int(n_valid[0])
+
+
+def greater_frame_host_png(rgb_fp, flat_fp, depth_fp, inv_K3, inv_RT34,
+                           cuboid, depth_scale, use_floor=True, clusters=None,
+                           sat_thresh=0.9):
+    '''
+    Fully-fused GREATER frame decode from PNG FILES (png_ops.cpp): zlib
+    inflate + unfilter of the rgb/preflat/depth PNGs, u8 -> f32/255 LUT
+    conversion, and the frame_ops.cpp pixel pass, all in one native call — no
+    PIL, no full-image float arrays on the Python side. Bit-identical to
+    _imread + greater_frame_host (the LUT reproduces `astype(f32) / 255.0`
+    exactly; asserted by tests/test_data.py).
+    :param depth_scale: metric scale applied to the [0,1] depth (MAX_DEPTH_CLIP).
+    :return (pcl (N, 7) float32, n_valid) or None — when the native library is
+        unavailable, a file is unreadable, or a PNG uses an unsupported flavor
+        (palette/interlace/<8-bit); callers then fall back to the PIL chain.
+    '''
+    lib = _load()
+    if lib is None:
+        return None
+    bufs = []
+    for fp in (rgb_fp, flat_fp, depth_fp):
+        try:
+            b = np.fromfile(fp, np.uint8)
+        except OSError:
+            return None
+        if b.size < 33:
+            return None
+        bufs.append(b)
+    wh = np.zeros(2, np.int64)
+    if lib.o4d_png_dims(bufs[0], bufs[0].size, wh) < 0:
+        return None
+    W, H = int(wh[0]), int(wh[1])
+    if clusters is None:
+        from ..data.greater import PREFLAT_HUE_CLUSTERS
+        clusters = PREFLAT_HUE_CLUSTERS
+    iK = np.ascontiguousarray(inv_K3, np.float32).reshape(9)
+    iRT = np.ascontiguousarray(inv_RT34, np.float32).reshape(12)
+    cub = np.ascontiguousarray(np.asarray(cuboid, np.float32).reshape(6))
+    cl = np.ascontiguousarray(np.asarray(clusters, np.float64))
+    out = np.empty((H * W, 7), np.float32)
+    n_valid = np.zeros(1, np.int64)
+    n = lib.o4d_greater_frame_png(
+        bufs[0], bufs[0].size, bufs[1], bufs[1].size, bufs[2], bufs[2].size,
+        float(depth_scale), iK, iRT, cub, int(bool(use_floor)), cl,
+        cl.shape[0], float(sat_thresh), out.reshape(-1), n_valid)
+    if n < 0:
+        return None
     return out[:n].copy(), int(n_valid[0])
 
 

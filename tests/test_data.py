@@ -436,3 +436,143 @@ def test_carla_track_marking(carla_root):
     np.testing.assert_array_equal(e0['pcl_target'][..., :10],
                                   e1['pcl_target'][..., :10])
     np.testing.assert_array_equal(e0['pcl_input_sem'], e1['pcl_input_sem'])
+
+
+def _write_png_raw(fp, arr, filter_type, bit16=False):
+    '''Hand-rolled PNG writer with a FORCED per-row filter type (PIL/imageio
+    write filter 0 only; real GREATER frames come from libpng's adaptive
+    filters 0-4, so the native decoder's unfilter paths need a real probe).
+    arr: (H, W) gray or (H, W, C) uint8 — or uint16 when bit16 (gray only).'''
+    import struct
+    import zlib as _z
+    a = np.asarray(arr)
+    H, W = a.shape[:2]
+    C = 1 if a.ndim == 2 else a.shape[2]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[C]
+    depth = 16 if bit16 else 8
+    raw = (a.astype('>u2') if bit16 else a.astype(np.uint8)).tobytes()
+    bpp = C * (2 if bit16 else 1)
+    stride = W * bpp
+    rows = [np.frombuffer(raw[y * stride:(y + 1) * stride], np.uint8)
+            .astype(np.int32) for y in range(H)]
+
+    def paeth(q, b, c):
+        p = q + b - c
+        pa, pb, pc = abs(p - q), abs(p - b), abs(p - c)
+        return np.where((pa <= pb) & (pa <= pc), q, np.where(pb <= pc, b, c))
+
+    out = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(H):
+        cur = rows[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:
+            enc = cur - paeth(left, prev, ul)
+        out.append(filter_type)
+        out.extend((enc & 0xff).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, data):
+        return (struct.pack('>I', len(data)) + tag + data
+                + struct.pack('>I', _z.crc32(tag + data) & 0xffffffff))
+
+    ihdr = struct.pack('>IIBBBBB', W, H, depth, color_type, 0, 0, 0)
+    with open(fp, 'wb') as f:
+        f.write(b'\x89PNG\r\n\x1a\n')
+        f.write(chunk(b'IHDR', ihdr))
+        f.write(chunk(b'IDAT', _z.compress(bytes(out))))
+        f.write(chunk(b'IEND', b''))
+
+
+def test_native_png_frame_matches_pil(tmp_path):
+    '''The fully-fused PNG -> frame decode (native/png_ops.cpp) must be
+    BYTE-identical to the PIL + numpy chain (_imread + greater_frame_points)
+    on every PNG flavor the GREATER data uses: 8-bit RGB/RGBA rgb+preflat,
+    8-bit AND 16-bit gray depth, all five scanline filter types; palettized /
+    interlaced files must fall back (return None) rather than misdecode.'''
+    from occlusions4d_tpu import native
+    from occlusions4d_tpu.data import greater as G
+    from occlusions4d_tpu.ops.bounds import greater_bounds
+
+    if not native.native_available():
+        pytest.skip('no C++ toolchain')
+
+    rng = np.random.RandomState(23)
+    H, W = 40, 56
+    cam_K = np.array([[50., 0., W / 2], [0., 50., H / 2], [0., 0., 1.]],
+                     np.float32)
+    cam_RT = np.array([[1., 0., 0., 0.5], [0., 1., 0., -1.0],
+                       [0., 0., 1., 0.25]], np.float32)
+    cub = greater_bounds(5.0, -1.0)
+
+    # Gradient + noise content so sub/up/avg/paeth actually change bytes.
+    gx = np.linspace(0, 255, W, dtype=np.float32)[None, :, None]
+    gy = np.linspace(0, 255, H, dtype=np.float32)[:, None, None]
+    base = (0.5 * gx + 0.5 * gy) + rng.randint(0, 32, (H, W, 3))
+    rgb8 = np.clip(base, 0, 255).astype(np.uint8)
+    flat8 = np.clip(base[..., ::-1] * 0.9, 0, 255).astype(np.uint8)
+    depth8 = np.clip(0.3 * gx[..., 0] + rng.randint(0, 64, (H, W)),
+                     0, 255).astype(np.uint8)
+    depth8[rng.rand(H, W) < 0.2] = 0
+    depth16 = (depth8.astype(np.uint16) * 257) ^ rng.randint(
+        0, 255, (H, W)).astype(np.uint16)
+
+    def pil_chain(rgb_fp, flat_fp, depth_fp):
+        rgb = G._imread(rgb_fp)[..., :3].astype(np.float32)
+        flat = G._imread(flat_fp)[..., :3].astype(np.float32)
+        depth = G._imread(depth_fp).astype(np.float32) * G.MAX_DEPTH_CLIP
+        if depth.ndim == 3:
+            depth = depth[..., 0]
+        return G.greater_frame_points(rgb, flat, depth, cam_RT, cam_K, cub)
+
+    for filt in range(5):
+        for depth_mode in ('gray8', 'gray16'):
+            rgb_fp = str(tmp_path / f'rgb_f{filt}.png')
+            flat_fp = str(tmp_path / f'flat_f{filt}.png')
+            depth_fp = str(tmp_path / f'depth_f{filt}_{depth_mode}.png')
+            # RGBA for one filter to cover the 4-channel stride.
+            if filt == 3:
+                rgba = np.concatenate(
+                    [rgb8, np.full((H, W, 1), 200, np.uint8)], axis=-1)
+                _write_png_raw(rgb_fp, rgba, filt)
+            else:
+                _write_png_raw(rgb_fp, rgb8, filt)
+            _write_png_raw(flat_fp, flat8, filt)
+            if depth_mode == 'gray16':
+                _write_png_raw(depth_fp, depth16, filt, bit16=True)
+            else:
+                _write_png_raw(depth_fp, depth8, filt)
+
+            res = G.greater_frame_points_png(rgb_fp, flat_fp, depth_fp,
+                                             cam_RT, cam_K, cub)
+            assert res is not None, (filt, depth_mode)
+            pcl_ref, nv_ref = pil_chain(rgb_fp, flat_fp, depth_fp)
+            assert res[1] == nv_ref
+            assert res[0].shape[0] > 20, 'degenerate probe'
+            np.testing.assert_array_equal(res[0], pcl_ref)
+
+    # Unsupported flavors fall back to None (PIL path serves them instead).
+    from PIL import Image
+    pal_fp = str(tmp_path / 'pal.png')
+    Image.fromarray(rgb8).convert('P', palette=Image.ADAPTIVE).save(pal_fp)
+    ok_flat = str(tmp_path / 'flat_f0.png')
+    ok_depth = str(tmp_path / 'depth_f0_gray8.png')
+    assert G.greater_frame_points_png(pal_fp, ok_flat, ok_depth,
+                                      cam_RT, cam_K, cub) is None
+    # Mismatched dimensions are rejected, not misread.
+    small_fp = str(tmp_path / 'small.png')
+    _write_png_raw(small_fp, rgb8[:H // 2], 0)
+    assert G.greater_frame_points_png(small_fp, ok_flat, ok_depth,
+                                      cam_RT, cam_K, cub) is None
+    # Missing file: graceful fallback.
+    assert G.greater_frame_points_png(str(tmp_path / 'nope.png'), ok_flat,
+                                      ok_depth, cam_RT, cam_K, cub) is None
