@@ -48,6 +48,12 @@ _BIG_I = 2 ** 30
 # sites; both only affect scheduling, never outputs.
 DEFAULT_ATTN_GROUP = 4
 FORCE_PREMUL = None
+# Override for the attention-backward query-tile rule (None = tile_n at
+# k <= 16, else tile_n / 2). Changes Mosaic scheduling (per-tile VMEM
+# residency); per-query grads are tile-independent, but WEIGHT grads sum
+# per-tile partials, so retunes can shift dW by last-ulp rounding — A/B at
+# the step level (loss trajectory), not bitwise.
+BWD_TILE_OVERRIDE = None
 
 
 def _mm(a, b, cd):
@@ -521,6 +527,8 @@ def _attn_flat_bwd(k, dim, feat, tile_n, group, opts, res, g):
     compute_dtype, interpret, premul, use_idx = opts
     # Backward tiles full-K rows in VMEM; shrink the tile at large K to fit.
     bwd_tile = tile_n if k <= 16 else max(tile_n // 2, _LANES)
+    if BWD_TILE_OVERRIDE:
+        bwd_tile = max(int(BWD_TILE_OVERRIDE), _LANES)
     bwd_tile = min(bwd_tile, qpos.shape[1])
     (dqproj, df, dwk, dwv, dwp1, dbp1, dwp2, dbp2, dwa1, dba1, dwa2, dba2) = \
         _attn_bwd_call(qpos, qproj, kpos, fv, kn, ki, wk, wv, wp1, bp1, wp2,
@@ -1224,6 +1232,8 @@ def _attn_flat_g_bwd(k, dim, feat, tile_n, group, opts, res, g):
     (qpos, qproj, g_in, wk, wv, wp1, bp1, wp2, bp2, wa1, ba1, wa2, ba2) = res
     compute_dtype, interpret = opts
     bwd_tile = tile_n if k <= 16 else max(tile_n // 2, _LANES)
+    if BWD_TILE_OVERRIDE:
+        bwd_tile = max(int(BWD_TILE_OVERRIDE), _LANES)
     bwd_tile = min(bwd_tile, qpos.shape[1])
     (dqproj, dg, dwk, dwv, dwp1, dbp1, dwp2, dbp2, dwa1, dba1, dwa2, dba2) = \
         _attn_g_bwd_call(qpos, qproj, g_in, wk, wv, wp1, bp1, wp2, bp2,
