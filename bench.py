@@ -203,7 +203,11 @@ def _eval_overlap_bench(cfg, enc_args, dec_args, params, num_sample=524288):
     ckpt_dir = '/tmp/o4d_bench_eval_ckpt'
     shutil.rmtree(ckpt_dir, ignore_errors=True)
     train_cfg = dataclasses.replace(cfg, data_path=root)
-    logger = StepLogger(context='bench_eval')
+    out_dir = '/tmp/o4d_bench_eval_logs'
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # log_dir: store_pcl/save_metrics write real artifacts (the measured cost).
+    logger = StepLogger(log_dir=os.path.join(out_dir, 'run'),
+                        context='bench_eval')
     import logging
     import sys
     for h in logger.logger.handlers:
@@ -215,8 +219,6 @@ def _eval_overlap_bench(cfg, enc_args, dec_args, params, num_sample=524288):
                 dset_args=_train_dset_args(train_cfg, 'greater', logger))
     ckpt_lib.save_checkpoint(ckpt_dir, 0, {'params': params}, meta=meta)
 
-    out_dir = '/tmp/o4d_bench_eval_logs'
-    shutil.rmtree(out_dir, ignore_errors=True)
     targs = parse_test_args([
         '--resume', ckpt_dir, '--data_path', os.path.join(root, 'val'),
         '--num_sample', str(num_sample), '--point_sample_mode', 'grid',
