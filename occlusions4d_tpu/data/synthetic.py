@@ -114,7 +114,11 @@ def make_greater_scene(scene_dp, num_views=3, num_frames=24, image_size=40,
             Rt_t = R.T @ t
             dir_wz = (R.T @ rays)[2]                      # world-z of ray direction.
             z_floor = np.where(np.abs(dir_wz) > 1e-6, Rt_t[2] / dir_wz, np.inf)
-            w_pts = R.T @ (rays * z_floor[None]) - Rt_t[:, None]
+            # Parallel rays carry z_floor = inf; 0 * inf inside the matmul
+            # would emit NaN warnings (the pixels are masked out below either
+            # way), so intersect those rays at a finite dummy depth instead.
+            z_fin = np.where(np.isfinite(z_floor), z_floor, 0.0)
+            w_pts = R.T @ (rays * z_fin[None]) - Rt_t[:, None]
             on_floor = ((z_floor > 0.05) & (z_floor < best_z)
                         & (np.abs(w_pts[0]) <= floor_half)
                         & (np.abs(w_pts[1]) <= floor_half))
