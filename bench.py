@@ -174,14 +174,22 @@ def _loader_overlap_bench(cfg, batch_size=4, steps=6):
         val_loader.close()
 
 
-def _eval_overlap_bench(cfg, enc_args, dec_args, params, num_sample=524288):
+def _eval_overlap_bench(cfg, enc_args, dec_args, params, num_sample=131072):
     '''End-to-end PRODUCTION eval-loop throughput (VERDICT r4 item 2: the
     dense-eval headline is encode+decode only; a real test_driver step adds
     track reruns, host 1-NN GT labels, metrics, compress_air, and pcl_io
     pickle export). Saves the bench models as a native checkpoint, then runs
     the full CLI path (load_models -> backfill -> test loader -> run_test with
-    track_mode=all + save_metrics + save_gt + store_pcl) over `steps` synthetic
-    gv1-scale scenes and reports scenes/hour + the measured phase split.'''
+    track_mode=all + save_metrics + save_gt + store_pcl) over 2 synthetic
+    gv1-scale scene steps and reports per-scene wall + the measured phase
+    split (step 0 = compile/warmup, step 1 = steady state).
+
+    Scoped for the tunneled-TPU bench host: D2H here runs at ~14 MB/s, so a
+    524288-query frame pays ~2 min of pure transfer that a PCIe-attached TPU
+    host serves in <0.1 s (measured Aug 20: 9-11 min/scene at 524288, >95 %
+    tunnel D2H). num_sample=131072 keeps every production phase exercised at
+    1/4 transfer volume; the tunnel_d2h_s estimate in the result separates
+    the environment artifact from real host work.'''
     import dataclasses
     import shutil
 
@@ -226,7 +234,9 @@ def _eval_overlap_bench(cfg, enc_args, dec_args, params, num_sample=524288):
         '--save_metrics', 'true', '--save_gt', 'true',
         '--use_json', 'false', '--num_workers', '1', '--seed', '5',
         '--log_path', os.path.join(out_dir, 'run'),
-        '--use_data_frac', '0.08',
+        # 2 val scenes x multiplier 60 x 0.017 = 2 scene steps: step 0 pays
+        # the compiles, step 1 is the steady-state measurement.
+        '--use_data_frac', '0.017',
     ])
     t0 = time.time()
     summary = test_driver.main(targs, logger=logger)
@@ -241,11 +251,21 @@ def _eval_overlap_bench(cfg, enc_args, dec_args, params, num_sample=524288):
     # 'accounted' is host+device work, not wall.
     accounted = sum(v for k, v in split.items()
                     if k not in ('infer_wall', 'dispatch_wall', 'finish_wall'))
+    scene_walls = summary.get('scene_wall_s', [])
+    # Steady state = last scene step (step 0 absorbs compiles/warmup).
+    steady = scene_walls[-1] if len(scene_walls) > 1 else wall / n_scenes
+    # Environment artifact estimate: bytes fetched per scene over the ~14 MB/s
+    # axon tunnel (frames x num_sample x ~14 f32 channels). A PCIe host moves
+    # the same bytes in <0.1 s; subtract to approximate on-host eval cost.
+    tunnel_d2h_s = frames_per_scene * num_sample * 14 * 4 / 14e6
     return {
-        # Wall includes the (persistent-cache) first-frame compile loads;
-        # steady-state per-scene cost is the phase-split sum / n_scenes.
         'eval_s_per_scene': round(wall / n_scenes, 2),
-        'scenes_per_hour': round(3600.0 * n_scenes / wall, 1),
+        'steady_s_per_scene': round(steady, 2),
+        'steady_s_per_scene_excl_tunnel': round(max(steady - tunnel_d2h_s,
+                                                    0.0), 2),
+        'tunnel_d2h_s_per_scene_est': round(tunnel_d2h_s, 2),
+        'scenes_per_hour_steady': round(3600.0 / max(steady, 1e-9), 1),
+        'scene_wall_s': scene_walls,
         'num_sample': num_sample,
         'n_scenes': n_scenes,
         'track_reruns_mean': summary['track_reruns_mean'],

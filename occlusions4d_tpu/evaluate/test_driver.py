@@ -57,6 +57,11 @@ class _FramePost:
         self.pcl_all = []
         self.activations = []
         self.last_inf = None
+        # Per-scene-step wall clock (completion-to-completion, measured where
+        # the artifacts land — the post worker in pipelined mode): step 0
+        # carries the compile/warmup cost, steps >= 1 are steady state.
+        self.scene_walls = []
+        self.scene_t_last = time.time()
 
     def frame(self, cur_step, time_idx, pending, tgt_frame, pcl_input,
               pcl_input_sem):
@@ -134,6 +139,11 @@ class _FramePost:
             logger.save_pickle((meta, cam_RT, cam_K),
                                f'metadata_s{cur_step}.p',
                                folder=self.log_folder)
+        now = time.time()
+        self.scene_walls.append(now - self.scene_t_last)
+        self.scene_t_last = now
+        logger.info(f'[test] scene step {cur_step} complete '
+                    f'({self.scene_walls[-1]:.1f}s)')
 
 
 class _PostWorker:
@@ -275,6 +285,7 @@ def run_test(args: TestConfig, engine, data_kind, loader, logger):
                                     for k, v in timer.summary().items()}
         summary['track_reruns_mean'] = (float(np.mean(n_reruns))
                                         if n_reruns else 0.0)
+        summary['scene_wall_s'] = [round(w, 2) for w in post.scene_walls]
         fp = os.path.join(logger._artifact_dir('pickle', post.log_folder),
                           'metrics.json')
         with open(fp, 'w') as f:
