@@ -448,6 +448,13 @@ def finish_inference(pending, pcl_target_frame, engine,
         if compress_air:
             gt_air = np.concatenate([gt_air[:, :1], gt_air[:, 4:5]], axis=-1)
         result['gt_air'] = gt_air
+        # Precomputed 1-NN vs the target, split like output_solid/output_air.
+        # nn1 is row-independent, so these equal what frame_metrics would
+        # recompute from the split clouds bit-for-bit — passing them through
+        # saves it three full-size nn1 passes per frame (the dominant host
+        # cost of --save_metrics at dense query counts).
+        result['nn_solid'] = (d[solid_sel], nn_idx[solid_sel])
+        result['nn_air_d'] = d[~solid_sel]
     return result
 
 

@@ -58,7 +58,8 @@ def chamfer_distance(a_xyz, b_xyz):
 def frame_metrics(output_solid, output_air, target, data_kind='greater',
                   point_occupancy_radius=0.2, color_mode='rgb',
                   predict_segmentation=False, semantic_classes=13,
-                  track_threshold=0.5, mark_is_instance_id=False):
+                  track_threshold=0.5, mark_is_instance_id=False,
+                  nn_solid=None, nn_air_d=None):
     '''
     :param output_solid (S, 5+C) array: (x, y, z, t, density, color..., mark, segm?).
     :param output_air (A, 5) compressed or (A, 5+C) uncompressed array.
@@ -68,6 +69,12 @@ def frame_metrics(output_solid, output_air, target, data_kind='greater',
         than raw sigmoid scores. Must come from perform_inference's
         `mark_is_instance_id` — ids can be 0 or 1, so it cannot be inferred from
         the value range.
+    :param nn_solid / nn_air_d: optional precomputed 1-NN vs THIS target —
+        (distances, indices) over output_solid rows and distances over
+        output_air rows (finish_inference's gt path computes them anyway).
+        nn1 is row-independent, so results are bit-identical to the in-place
+        recomputation; at dense query counts this skips the three dominant
+        nn1 passes (solid/air occupancy + chamfer forward + TP row lookup).
     :return dict of scalar metrics.
     '''
     cols = _TARGET_COLS[data_kind]
@@ -75,10 +82,19 @@ def frame_metrics(output_solid, output_air, target, data_kind='greater',
     tgt_xyz = target[:, :3]
     out = {}
 
-    solid_gt = _occupancy_labels(np.asarray(output_solid)[:, :3], tgt_xyz,
-                                 point_occupancy_radius)
-    air_gt = _occupancy_labels(np.asarray(output_air)[:, :3], tgt_xyz,
-                               point_occupancy_radius)
+    if nn_solid is not None:
+        d_solid, idx_solid = np.asarray(nn_solid[0]), np.asarray(nn_solid[1])
+    else:
+        d_solid, idx_solid = (
+            nn1_host(np.asarray(output_solid)[:, :3], tgt_xyz)
+            if np.asarray(output_solid).shape[0]
+            else (np.zeros((0,)), np.zeros((0,), np.int64)))
+    solid_gt = d_solid < point_occupancy_radius
+    if nn_air_d is not None:
+        air_gt = np.asarray(nn_air_d) < point_occupancy_radius
+    else:
+        air_gt = _occupancy_labels(np.asarray(output_air)[:, :3], tgt_xyz,
+                                   point_occupancy_radius)
     tp = float(solid_gt.sum())
     fp = float((~solid_gt).sum())
     fn = float(air_gt.sum())
@@ -86,13 +102,17 @@ def frame_metrics(output_solid, output_air, target, data_kind='greater',
     out['occupancy_recall'] = tp / max(tp + fn, 1.0)
     out['occupancy_f1'] = 2.0 * tp / max(2.0 * tp + fp + fn, 1.0)
     out['occupancy_iou'] = tp / max(tp + fp + fn, 1.0)
-    out['chamfer'] = chamfer_distance(np.asarray(output_solid)[:, :3], tgt_xyz)
+    # Chamfer forward leg = the solid 1-NN distances already in hand.
+    if d_solid.shape[0] == 0 or tgt_xyz.shape[0] == 0:
+        out['chamfer'] = float('inf')
+    else:
+        d_ba, _ = nn1_host(tgt_xyz, np.asarray(output_solid)[:, :3])
+        out['chamfer'] = float(d_solid.mean() + d_ba.mean()) / 2.0
 
     solid = np.asarray(output_solid)
     if solid.shape[0] and solid_gt.any():
         tp_pts = solid[solid_gt]
-        _, nn_idx = nn1_host(tp_pts[:, :3], tgt_xyz)
-        nn_rows = target[nn_idx]
+        nn_rows = target[idx_solid[solid_gt]]
         if color_mode in ('rgb', 'rgb_nosigmoid'):
             pred_rgb = tp_pts[:, 5:8]
             gt_rgb = nn_rows[:, cols['rgb']:cols['rgb'] + 3]

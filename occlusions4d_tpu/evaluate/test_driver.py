@@ -88,7 +88,11 @@ class _FramePost:
                     self.data_kind, args.point_occupancy_radius,
                     args.color_mode, args.segmentation_lw > 0.0,
                     args.semantic_classes,
-                    mark_is_instance_id=inf['mark_is_instance_id'])
+                    mark_is_instance_id=inf['mark_is_instance_id'],
+                    # Reuse the gt path's full-query 1-NN (bit-identical,
+                    # saves three dense nn1 passes; absent when save_gt off).
+                    nn_solid=inf.get('nn_solid'),
+                    nn_air_d=inf.get('nn_air_d'))
             m.update(step=cur_step, time_idx=time_idx)
             self.all_metrics.append(m)
         if args.store_activations and 'penult_solid' in inf:

@@ -193,3 +193,25 @@ def test_scalar_history_persists_per_epoch(tmp_path):
     assert logger.scalar_history[1]['val_aug/total_loss'] == 3.0
     with open(os.path.join(str(tmp_path), 'scalars.json')) as f:
         assert json.load(f) == logger.scalar_history
+
+
+def test_frame_metrics_precomputed_nn_bit_identical(rng):
+    '''The nn_solid/nn_air_d fast path (finish_inference reusing its gt-path
+    1-NN) is BIT-identical to in-place recomputation: nn1 is row-independent,
+    so distances/indices of the split clouds equal the full-query pass.'''
+    from occlusions4d_tpu.native import nn1_host
+    tgt = _make_target(rng)
+    output_solid, output_air = _make_outputs(rng, tgt)
+    d_s, i_s = nn1_host(output_solid[:, :3].astype(np.float32), tgt[:, :3])
+    d_a, _ = nn1_host(output_air[:, :3].astype(np.float32), tgt[:, :3])
+    base = frame_metrics(output_solid, output_air, tgt, 'greater', 0.2, 'rgb')
+    fast = frame_metrics(output_solid, output_air, tgt, 'greater', 0.2, 'rgb',
+                         nn_solid=(d_s, i_s), nn_air_d=d_a)
+    assert base == fast
+    # Empty solid cloud: chamfer inf, occupancy zero, on both paths.
+    empty = np.zeros((0, output_solid.shape[1]), np.float32)
+    b0 = frame_metrics(empty, output_air, tgt, 'greater', 0.2, 'rgb')
+    f0 = frame_metrics(empty, output_air, tgt, 'greater', 0.2, 'rgb',
+                       nn_solid=(np.zeros((0,)), np.zeros((0,), np.int64)),
+                       nn_air_d=d_a)
+    assert b0 == f0 and not np.isfinite(b0['chamfer'])
