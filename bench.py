@@ -255,9 +255,12 @@ def _eval_overlap_bench(cfg, enc_args, dec_args, params, num_sample=131072):
     # Steady state = last scene step (step 0 absorbs compiles/warmup).
     steady = scene_walls[-1] if len(scene_walls) > 1 else wall / n_scenes
     # Environment artifact estimate: bytes fetched per scene over the ~14 MB/s
-    # axon tunnel (frames x num_sample x ~14 f32 channels). A PCIe host moves
-    # the same bytes in <0.1 s; subtract to approximate on-host eval cost.
-    tunnel_d2h_s = frames_per_scene * num_sample * 14 * 4 / 14e6
+    # axon tunnel — each track rerun fetches its own full implicit output
+    # (multi_track_merge input), so the volume scales with 1 + reruns. A PCIe
+    # host moves the same bytes in <0.1 s; subtract to approximate on-host
+    # eval cost.
+    tunnel_d2h_s = (frames_per_scene * (1.0 + summary['track_reruns_mean'])
+                    * num_sample * 14 * 4 / 14e6)
     return {
         'eval_s_per_scene': round(wall / n_scenes, 2),
         'steady_s_per_scene': round(steady, 2),
