@@ -246,11 +246,13 @@ def _eval_overlap_bench(cfg, enc_args, dec_args, params, num_sample=131072):
     n_scenes = max(len(summary['per_frame']) // frames_per_scene, 1)
     device_s = split.get('device_infer', 0.0)
     # dispatch_wall/finish_wall are umbrella spans over the same seconds the
-    # component phases (device_infer/gt_nn1/host_post/...) already count — and
-    # in pipelined mode (--eval_overlap) the post phases overlap dispatch, so
-    # 'accounted' is host+device work, not wall.
+    # component phases (device_infer/gt_nn1/host_post/...) already count —
+    # d2h_fetch likewise is a subset of device_infer — and in pipelined mode
+    # (--eval_overlap) the post phases overlap dispatch, so 'accounted' is
+    # host+device work, not wall.
     accounted = sum(v for k, v in split.items()
-                    if k not in ('infer_wall', 'dispatch_wall', 'finish_wall'))
+                    if k not in ('infer_wall', 'dispatch_wall', 'finish_wall',
+                                 'd2h_fetch'))
     scene_walls = summary.get('scene_wall_s', [])
     # Steady state = last scene step (step 0 absorbs compiles/warmup).
     steady = scene_walls[-1] if len(scene_walls) > 1 else wall / n_scenes

@@ -395,11 +395,17 @@ def finish_inference(pending, pcl_target_frame, engine,
     all_out = [np.asarray(o) for o in pending['all_out']]
     penult = pending['penult']
 
-    phase_s['device_infer'] = pending['dispatch_s'] + (_time.time() - _t0)
+    # d2h_fetch is the blocking-fetch share of device_infer (a SUBSET, not an
+    # additional phase): on a tunneled bench host it is mostly transfer, on a
+    # PCIe host mostly residual device execution.
+    phase_s['d2h_fetch'] = _time.time() - _t0
+    phase_s['device_infer'] = pending['dispatch_s'] + phase_s['d2h_fetch']
     phase_s['track_reruns'] = len(track_instance_ids)
     _t0 = _time.time()
     (pcl_abstract, features_global, implicit_output) = multi_track_merge(
         track_instance_ids, all_abstract, all_global, all_out, output_track_idx)
+    phase_s['track_merge'] = _time.time() - _t0
+    _t0 = _time.time()
     # After a real merge the mark column holds instance ids (-1 = undetected),
     # not raw sigmoid scores; carry that as an explicit flag (ids can be 0 or 1,
     # so downstream must never infer it from the value range).
@@ -417,7 +423,7 @@ def finish_inference(pending, pcl_target_frame, engine,
         target_labels = (d < point_occupancy_radius).astype(np.int64)
         query_nn1 = pcl_target_frame[nn_idx]
         points_nngt = np.concatenate([target_labels[:, None], query_nn1], axis=-1)
-    phase_s['gt_nn1'] = _time.time() - _t0  # multi_track_merge + host 1-NN.
+    phase_s['gt_nn1'] = _time.time() - _t0  # the host 1-NN alone.
     _t0 = _time.time()
 
     points_io = np.concatenate([points_query, implicit_output], axis=-1)

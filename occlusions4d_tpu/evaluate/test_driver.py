@@ -75,7 +75,8 @@ class _FramePost:
                 semantic_classes=args.semantic_classes,
                 density_threshold=args.density_threshold,
                 compress_air=True, store_activations=args.store_activations)
-        for name in ('device_infer', 'gt_nn1', 'host_post'):
+        for name in ('device_infer', 'd2h_fetch', 'track_merge', 'gt_nn1',
+                     'host_post'):
             self.timer.totals[name] += inf['phase_s'][name]
             self.timer.counts[name] += 1
         self.n_reruns.append(inf['phase_s']['track_reruns'])
