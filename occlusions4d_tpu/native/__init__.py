@@ -65,6 +65,7 @@ def _load():
             i64 = ctypes.c_int64
             lib.o4d_fps.argtypes = [f32p, i64, i64, i64, i32p, f32p]
             lib.o4d_nn1.argtypes = [f32p, i64, f32p, i64, f32p, i32p]
+            lib.o4d_nn1_grid.argtypes = [f32p, i64, f32p, i64, f32p, i32p]
             lib.o4d_knn.argtypes = [f32p, i64, f32p, i64, i64, f32p, i32p]
             lib.o4d_greater_frame.argtypes = [
                 f32p, f32p, f32p, i64, i64, f32p, f32p, f32p, ctypes.c_int,
@@ -116,14 +117,23 @@ def fps_host(xyz, n_out, start_idx=0, sort_result=True):
 
 def nn1_host(query, keys):
     '''Exact 1-NN (Euclidean): the sklearn-KDTree replacement for test-time GT
-    labels. :return (dists (N,), idx (N,) int32).'''
+    labels. :return (dists (N,), idx (N,) int32).
+
+    Large problems route to the grid-accelerated kernel (o4d_nn1_grid),
+    bit-identical to the brute-force one (same per-pair float expression,
+    lexicographic (d, index) winner — see host_ops.cpp); small ones keep the
+    brute path, whose setup-free scan wins below ~4M candidate pairs.'''
     query = np.ascontiguousarray(np.asarray(query, np.float32)[:, :3])
     keys = np.ascontiguousarray(np.asarray(keys, np.float32)[:, :3])
     lib = _load()
     if lib is not None:
-        d = np.empty(query.shape[0], np.float32)
-        i = np.empty(query.shape[0], np.int32)
-        lib.o4d_nn1(query, query.shape[0], keys, keys.shape[0], d, i)
+        n, m = query.shape[0], keys.shape[0]
+        d = np.empty(n, np.float32)
+        i = np.empty(n, np.int32)
+        if n * m >= 1 << 22 and m >= 64:
+            lib.o4d_nn1_grid(query, n, keys, m, d, i)
+        else:
+            lib.o4d_nn1(query, n, keys, m, d, i)
         return d, i
     diffs = np.linalg.norm(query[:, None] - keys[None], axis=-1)
     i = diffs.argmin(axis=-1).astype(np.int32)

@@ -576,3 +576,58 @@ def test_native_png_frame_matches_pil(tmp_path):
     # Missing file: graceful fallback.
     assert G.greater_frame_points_png(str(tmp_path / 'nope.png'), ok_flat,
                                       ok_depth, cam_RT, cam_K, cub) is None
+
+
+def test_native_nn1_grid_matches_bruteforce():
+    '''o4d_nn1_grid (uniform-cell 1-NN, the large-problem path behind
+    nn1_host) is BIT-identical to the brute-force o4d_nn1 — same per-pair
+    float expression, lexicographic (d, index) winner, slack-padded ring
+    bound (host_ops.cpp). Adversarial geometry: exact ties from integer-grid
+    points, duplicate keys, planar/collinear keys (zero extent), queries far
+    outside the key bbox, 1e6-scale coordinates (cell-binning stress),
+    heavily clustered keys, m=1.'''
+    import ctypes  # noqa: F401 - signatures bound in native._load.
+    from occlusions4d_tpu import native
+    if not native.native_available():
+        pytest.skip('no native library')
+    lib = native._load()
+    rng = np.random.RandomState(3)
+
+    def run(fn, q, k):
+        q = np.ascontiguousarray(q, np.float32)
+        k = np.ascontiguousarray(k, np.float32)
+        d = np.empty(q.shape[0], np.float32)
+        i = np.empty(q.shape[0], np.int32)
+        fn(q, q.shape[0], k, k.shape[0], d, i)
+        return d, i
+
+    gq = np.stack(np.meshgrid(*[np.arange(7, dtype=np.float32)] * 3),
+                  -1).reshape(-1, 3)
+    dup = np.repeat(rng.randn(40, 3).astype(np.float32), 8, axis=0)
+    rng.shuffle(dup)
+    planar = rng.randn(1500, 3).astype(np.float32)
+    planar[:, 2] = 0.0
+    cases = [
+        (rng.randn(2000, 3) * 3, rng.randn(1500, 3) * 3),
+        (gq, gq[::2].copy()),                       # exact ties.
+        (gq + 0.5, gq.copy()),
+        (rng.randn(300, 3), dup),                   # duplicate keys.
+        (rng.randn(200, 3) * 100 + 500, rng.randn(800, 3)),  # far queries.
+        (rng.randn(400, 3), planar),                # zero-extent axis.
+        (rng.randn(500, 3) * 1e6, rng.randn(2000, 3) * 1e6),  # binning stress.
+        (rng.randn(100, 3), rng.randn(1, 3)),       # m = 1.
+    ]
+    for q, k in cases:
+        db, ib = run(lib.o4d_nn1, q, k)
+        dg, ig = run(lib.o4d_nn1_grid, q, k)
+        np.testing.assert_array_equal(db, dg)
+        np.testing.assert_array_equal(ib, ig)
+
+    # nn1_host dispatches by problem size; both routes agree with numpy.
+    q = rng.randn(4096, 3).astype(np.float32)
+    k = rng.randn(1100, 3).astype(np.float32)   # 4096*1100 > 2^22 -> grid.
+    d, i = native.nn1_host(q, k)
+    ref_d = np.linalg.norm(q[:, None] - k[None], axis=-1)
+    ref_i = ref_d.argmin(axis=-1)
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(d, ref_d[np.arange(len(q)), ref_i], rtol=1e-5)
